@@ -1,0 +1,145 @@
+"""Device-resident scene buffers (JAX pytrees, SoA, static shapes).
+
+The reference uploads WGSL storage buffers per scene
+(``/root/reference/src/bindings/storage_mesh.rs``); here every buffer is a
+``jnp`` array inside a registered pytree so the whole scene streams through
+``jax.jit`` as ordinary traced inputs — replicated (or sharded) across the
+device mesh by ``jax.sharding`` without any bespoke upload layer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tracer.geometry.obj import MeshData
+from tracer.util import pytree_dataclass
+
+# Shader ids — exact parity with the reference's WGSL constants
+# (e.g. /root/reference/res/shaders/w9e2.wgsl:7-15) and the UI enum
+# (/root/reference/src/command.rs:39-47).
+SHADER_LAMBERTIAN = 0
+SHADER_PHONG = 1
+SHADER_MIRROR = 2
+SHADER_TRANSMIT = 3
+SHADER_GLOSSY = 4
+SHADER_NORMAL = 5
+SHADER_BASECOLOR = 6
+SHADER_TRANSPARENT = 7  # Fresnel-weighted reflect/refract (+Beer-Lambert)
+SHADER_HOLDOUT = 8
+SHADER_NO_RENDER = 255
+
+
+@pytree_dataclass
+class GeometryBuffers:
+    """Triangle mesh SoA — the TPU analog of the reference's split/combined
+    vertex storage buffers (``storage_mesh.rs:76-301``)."""
+
+    vertices: jnp.ndarray  # (V, 3) f32
+    normals: jnp.ndarray  # (V, 3) f32
+    indices: jnp.ndarray  # (T, 3) i32
+    mat_ids: jnp.ndarray  # (T,) i32
+
+
+@pytree_dataclass
+class MaterialTable:
+    """Material SoA — ``Material`` structs (``/root/reference/src/mesh.rs:12-31``).
+
+    ``emission`` is the MTL ``Ka`` channel (the reference shades emitters with
+    ``material.ambient``), ``illum`` the raw illumination-model id whose value
+    1 marks an area light.
+    """
+
+    diffuse: jnp.ndarray  # (M, 3) f32
+    emission: jnp.ndarray  # (M, 3) f32
+    specular: jnp.ndarray  # (M, 3) f32
+    illum: jnp.ndarray  # (M,) i32
+    shininess: jnp.ndarray  # (M,) f32
+    ior: jnp.ndarray  # (M,) f32
+
+
+@pytree_dataclass
+class Spheres:
+    """Analytic spheres with per-sphere shading setup (the reference hardcodes
+    these per scene, e.g. ``w8e3.wgsl:293-305``)."""
+
+    center: jnp.ndarray  # (S, 3) f32
+    radius: jnp.ndarray  # (S,) f32
+    shader: jnp.ndarray  # (S,) i32
+    base_color: jnp.ndarray  # (S, 3) f32
+    ior: jnp.ndarray  # (S,) f32 — ior1_over_ior2 assigned at hit
+    extinction: jnp.ndarray  # (S, 3) f32 — Beer-Lambert rho_t
+
+
+@pytree_dataclass
+class Planes:
+    """Analytic planes with an ONB for texturing (``w9e2.wgsl:383-404``)."""
+
+    position: jnp.ndarray  # (P, 3) f32
+    normal: jnp.ndarray  # (P, 3) f32
+    tangent: jnp.ndarray  # (P, 3) f32
+    binormal: jnp.ndarray  # (P, 3) f32
+    shader: jnp.ndarray  # (P,) i32
+    base_color: jnp.ndarray  # (P, 3) f32
+    textured: jnp.ndarray  # (P,) i32 — sample the bound texture for albedo
+
+
+@pytree_dataclass
+class AnalyticTriangles:
+    """Standalone triangles (worksheet-1 scenes, ``w1e6.wgsl:145-149``)."""
+
+    verts: jnp.ndarray  # (R, 3, 3) f32
+    shader: jnp.ndarray  # (R,) i32
+    base_color: jnp.ndarray  # (R, 3) f32
+
+
+def empty_spheres() -> Spheres:
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z1 = jnp.zeros((0,), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return Spheres(z3, z1, zi, z3, z1, z3)
+
+
+def empty_planes() -> Planes:
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return Planes(z3, z3, z3, z3, zi, z3, zi)
+
+
+def empty_triangles() -> AnalyticTriangles:
+    return AnalyticTriangles(
+        jnp.zeros((0, 3, 3), jnp.float32),
+        jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0, 3), jnp.float32),
+    )
+
+
+def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.ndarray]:
+    """MeshData -> (geometry, materials, light_indices) device buffers.
+
+    Unlike wgpu, zero-length buffers are legal, so the reference's
+    ``u32::MAX`` sentinel prepend (``storage_mesh.rs:330-332``) is dropped;
+    the light list holds exactly the emissive-triangle ids.
+    """
+    geom = GeometryBuffers(
+        vertices=jnp.asarray(mesh.vertices, jnp.float32),
+        normals=jnp.asarray(mesh.normals, jnp.float32),
+        indices=jnp.asarray(mesh.indices.astype(np.int64), jnp.int32),
+        mat_ids=jnp.asarray(
+            np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(np.int64),
+            jnp.int32,
+        ),
+    )
+    mats = mesh.materials
+    table = MaterialTable(
+        diffuse=jnp.asarray(np.stack([m.diffuse for m in mats]), jnp.float32),
+        emission=jnp.asarray(np.stack([m.ambient for m in mats]), jnp.float32),
+        specular=jnp.asarray(np.stack([m.specular for m in mats]), jnp.float32),
+        illum=jnp.asarray([m.illum for m in mats], jnp.int32),
+        shininess=jnp.asarray([m.shininess for m in mats], jnp.float32),
+        ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+    )
+    lights = jnp.asarray(mesh.light_indices().astype(np.int64), jnp.int32)
+    return geom, table, lights
