@@ -1,0 +1,45 @@
+"""Test harness: force the CPU backend with a virtual 8-device mesh so
+sharding paths are testable without TPU hardware (SURVEY.md section 4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REF = "/root/reference/res/models"
+
+
+@pytest.fixture(scope="session")
+def cornell_mesh():
+    from tracer.geometry.obj import load_obj
+
+    return load_obj(f"{REF}/CornellBox.obj")
+
+
+@pytest.fixture(scope="session")
+def cornell_blocks_mesh():
+    from tracer.geometry.obj import load_obj
+
+    return load_obj(f"{REF}/CornellBoxWithBlocks.obj")
+
+
+@pytest.fixture(scope="session")
+def teapot_mesh():
+    from tracer.geometry.obj import load_obj
+
+    return load_obj(f"{REF}/teapot.obj")
+
+
+@pytest.fixture(scope="session")
+def test_object_mesh():
+    from tracer.geometry.obj import load_obj
+
+    return load_obj(f"{REF}/test_object.obj")
