@@ -1,0 +1,73 @@
+"""Benchmark: primary-ray throughput on the reference's headline scene.
+
+Reference headline (BASELINE.md): dragon 800x450, Lambertian, BVH traversal,
+~7.78-8.40 ms/frame on the journal's laptop GPU = ~43-46 M primary rays/s at
+1 spp. This bench renders the same scene shape (dragon stand-in mesh, 871k
+triangles, project.wgsl-equivalent config) on one TPU chip and reports
+rays/s, with vs_baseline against 45e6 rays/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra stage details go to stderr.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from tracer.render import progressive as P
+    from tracer.scenes import build_scene, get_scene
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    desc = get_scene("Project: Dragon")
+    cfg = desc.cfg
+    log(f"scene: {desc.name} {cfg.width}x{cfg.height} traversal={cfg.traversal}")
+
+    t0 = time.perf_counter()
+    scene, cfg = build_scene(desc)
+    log(f"scene build (mesh gen + LBVH): {time.perf_counter() - t0:.2f} s")
+    log(f"triangles: {scene.geom.indices.shape[0]}")
+
+    state = P.init_state(cfg)
+    t0 = time.perf_counter()
+    state = P.step(scene, cfg, state)
+    jax.block_until_ready(state.accum)
+    log(f"first frame (compile + run): {time.perf_counter() - t0:.2f} s")
+
+    # Timed frames.
+    frames = 20
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        state = P.step(scene, cfg, state)
+    jax.block_until_ready(state.accum)
+    dt = time.perf_counter() - t0
+    ms_per_frame = dt / frames * 1e3
+    rays = cfg.width * cfg.height  # primary rays per frame at 1 spp
+    rays_per_s = rays * frames / dt
+    log(f"{ms_per_frame:.3f} ms/frame, {rays_per_s / 1e6:.1f} Mray/s")
+
+    baseline = 45.0e6  # reference BVH dragon (journal/src/project.md 4.2.2)
+    print(
+        json.dumps(
+            {
+                "metric": "primary_rays_per_second_dragon_800x450_bvh",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Golden-image tests: wavefront TPU integrator vs the scalar CPU oracle.
+
+The correctness gate from BASELINE.md: rendered images allclose vs a CPU
+reference tracer. Both implementations consume identical PRNG streams, so
+images should agree to float32 tolerance even for stochastic scenes.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tracer.render import integrator as I
+from tracer.scenes import build_oracle_scene, build_scene, get_scene
+from tracer.oracle import cpu_tracer as oracle
+
+
+def _small(desc, w=24, h=24, **cfg_kw):
+    cfg = dataclasses.replace(desc.cfg, width=w, height=h, **cfg_kw)
+    return dataclasses.replace(desc, cfg=cfg)
+
+
+def _render_both(desc, iteration=0):
+    scene, cfg = build_scene(desc)
+    import jax.numpy as jnp
+
+    from tracer.util import replace as rep
+
+    scene = rep(
+        scene,
+        uniforms=rep(scene.uniforms, iteration=jnp.asarray(iteration, jnp.uint32)),
+    )
+    img = np.asarray(I.render_sample(scene, cfg)).reshape(
+        cfg.height, cfg.width, 3
+    )
+    osc, ocfg, cam = build_oracle_scene(desc)
+    ref = oracle.render(osc, ocfg, cam, iteration=iteration)
+    return img, ref
+
+
+def assert_close(img, ref, atol=2e-3, frac=0.999):
+    """Allclose with a tiny allowance for fp-order divergence at silhouettes."""
+    ok = np.isclose(img, ref, atol=atol, rtol=1e-3).all(axis=-1)
+    assert ok.mean() >= frac, (
+        f"only {ok.mean():.4f} of pixels match; "
+        f"max abs diff {np.abs(img - ref).max():.4g}"
+    )
+
+
+def test_w1e6_matches_oracle():
+    desc = _small(get_scene("W1 E6"))
+    img, ref = _render_both(desc)
+    assert img.std() > 0.05  # non-trivial image
+    assert_close(img, ref)
+
+
+def test_w1e4_basecolor_matches_oracle():
+    desc = _small(get_scene("W1 E4"))
+    img, ref = _render_both(desc)
+    assert_close(img, ref)
+
+
+def test_w2_mirror_and_shadows_match_oracle():
+    # W2 E2 with sphere=mirror, plane=lambertian via selections.
+    desc = _small(get_scene("W2 E2"))
+    desc = dataclasses.replace(desc, selection1=2, selection2=0)
+    img, ref = _render_both(desc)
+    assert_close(img, ref)
+
+
+def test_w2_transmit_matches_oracle():
+    desc = _small(get_scene("W2 E3"))
+    desc = dataclasses.replace(desc, selection1=3, selection2=0)
+    img, ref = _render_both(desc)
+    assert_close(img, ref)
+
+
+def test_w2_phong_glossy_match_oracle():
+    desc = _small(get_scene("W2 E5"))
+    desc = dataclasses.replace(desc, selection1=4, selection2=1)
+    img, ref = _render_both(desc)
+    assert_close(img, ref)
+
+
+def test_w5e5_area_lights_match_oracle():
+    desc = _small(get_scene("W5 E5 Cornell Box"), 16, 16, traversal="brute")
+    img, ref = _render_both(desc)
+    assert img.std() > 0.01
+    assert_close(img, ref)
+
+
+def test_w5e2_directional_matches_oracle():
+    desc = _small(get_scene("W5 E2 Teapot"), 16, 16, traversal="brute")
+    img, ref = _render_both(desc)
+    assert_close(img, ref)
+
+
+@pytest.mark.parametrize("iteration", [0, 3])
+def test_cornell_path_matches_oracle(iteration):
+    # W8 E3: full path tracer with NEE + RR + Fresnel/Beer dielectric.
+    desc = _small(get_scene("W8 E3 Absorption"), 16, 16, traversal="brute")
+    img, ref = _render_both(desc, iteration=iteration)
+    assert img.std() > 0.01
+    assert_close(img, ref, atol=5e-3, frac=0.99)
+
+
+def test_cornell_path_bvh_equals_brute():
+    desc_b = _small(get_scene("W8 E3 Absorption"), 16, 16, traversal="brute")
+    desc_v = _small(get_scene("W8 E3 Absorption"), 16, 16, traversal="bvh")
+    img_b, _ = _render_both(desc_b)
+    img_v, _ = _render_both(desc_v)
+    assert_close(img_v, img_b, atol=1e-4, frac=1.0)
+
+
+def test_cornell_path_bsp_equals_brute():
+    desc_b = _small(get_scene("W8 E3 Absorption"), 16, 16, traversal="brute")
+    desc_s = _small(get_scene("W8 E3 Absorption"), 16, 16, traversal="bsp")
+    img_b, _ = _render_both(desc_b)
+    img_s, _ = _render_both(desc_s)
+    assert_close(img_s, img_b, atol=1e-4, frac=0.995)
+
+
+def test_accumulate_formula():
+    import jax.numpy as jnp
+
+    r = jnp.ones((4, 3)) * 2.0
+    acc = jnp.ones((4, 3))
+    out = I.accumulate(r, acc, jnp.uint32(3))
+    assert np.allclose(out, (2.0 + 3.0) / 4.0)
+
+
+def test_to_display_guards():
+    import jax.numpy as jnp
+    from tracer.render.scene import SceneConfig
+
+    cfg = SceneConfig(gamma=1.5)
+    acc = jnp.asarray([[0.5, 0.5, 0.5], [-0.1, 0.2, 0.3]])
+    disp = np.asarray(I.to_display(acc, cfg))
+    assert np.allclose(disp[0], 0.5**1.5, atol=1e-6)
+    assert np.allclose(disp[1], [0.7, 0.0, 0.7])  # magenta sentinel

@@ -1,0 +1,62 @@
+"""Progressive accumulation, determinism, and checkpoint/resume."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from tracer.render import progressive as P
+from tracer.scenes import build_scene, get_scene
+
+
+def _desc(w=12, h=12):
+    d = get_scene("W8 E3 Absorption")
+    return dataclasses.replace(
+        d, cfg=dataclasses.replace(d.cfg, width=w, height=h, traversal="bvh")
+    )
+
+
+def test_progressive_mean_and_determinism():
+    scene, cfg = build_scene(_desc())
+    s1 = P.render_progressive(scene, cfg, 3)
+    assert int(s1.iteration) == 3
+    # Re-render: counter-based PRNG -> bit-identical accumulators.
+    s2 = P.render_progressive(scene, cfg, 3)
+    assert np.array_equal(np.asarray(s1.accum), np.asarray(s2.accum))
+    # Mean of per-iteration passes equals the accumulated state.
+    from tracer.diff.grad import render_radiance
+
+    manual = np.mean(
+        [np.asarray(render_radiance(scene, cfg, i)) for i in range(3)], axis=0
+    )
+    assert np.allclose(manual, np.asarray(s1.accum), atol=1e-5)
+
+
+def test_checkpoint_resume(tmp_path):
+    scene, cfg = build_scene(_desc())
+    full = P.render_progressive(scene, cfg, 4)
+    ckpt = os.path.join(tmp_path, "state.npz")
+    half = P.render_progressive(scene, cfg, 2)
+    P.save_checkpoint(ckpt, half, cfg)
+    resumed = P.load_checkpoint(ckpt, cfg)
+    assert int(resumed.iteration) == 2
+    done = P.render_progressive(scene, cfg, 4, state=resumed)
+    assert np.allclose(np.asarray(done.accum), np.asarray(full.accum), atol=1e-6)
+
+
+def test_image_export(tmp_path):
+    from tracer import io as tio
+
+    scene, cfg = build_scene(_desc())
+    st = P.render_progressive(scene, cfg, 1)
+    img = P.image(st, cfg)
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert (img >= 0).all() and (img <= 1).all()
+    png = os.path.join(tmp_path, "out.png")
+    pfm = os.path.join(tmp_path, "out.pfm")
+    tio.write_png(png, img)
+    lin = np.asarray(st.accum).reshape(cfg.height, cfg.width, 3)
+    tio.write_pfm(pfm, lin)
+    assert os.path.getsize(png) > 0
+    back = tio.read_pfm(pfm)
+    assert np.allclose(back, lin)

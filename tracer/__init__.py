@@ -22,6 +22,27 @@ Russian-roulette termination — rebuilt TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (the traversal while-loops
+    are expensive to compile; the cache makes reruns instant)."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "TRACER_JAX_CACHE", _os.path.expanduser("~/.cache/tracer-jax")
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 def __getattr__(name):
     # Lazy top-level re-exports so light submodule imports stay cheap.
     if name in ("get_scenes", "get_scene"):

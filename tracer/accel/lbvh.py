@@ -342,9 +342,27 @@ def build(
     )
 
 
-def build_for_mesh(mesh, max_prims: int = 4, timer: StageTimer | None = None):
-    """Convenience: LBVH over a ``MeshData``'s triangle AABBs."""
+def build_for_mesh(
+    mesh,
+    max_prims: int = 4,
+    timer: StageTimer | None = None,
+    prefer_native: bool = True,
+):
+    """LBVH over a ``MeshData``'s triangle AABBs.
+
+    Uses the native C++ builder (tracer.accel.native) when available — the
+    analog of the reference's native Rust builder — with this NumPy
+    implementation as the always-available reference path.
+    """
     lo, hi = mesh.bboxes()
+    if prefer_native:
+        try:
+            from tracer.accel import native
+
+            if native.available():
+                return native.build(lo, hi, max_prims, timer=timer)
+        except Exception:
+            pass
     return build(lo, hi, max_prims=max_prims, timer=timer)
 
 

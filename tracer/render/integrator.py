@@ -236,7 +236,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
                 sg(scene.geom.vertices),
                 sg(scene.geom.indices),
             )
-        else:
+        elif cfg.traversal == "bvh2":
             sg = jax.lax.stop_gradient
             t_m, tri = traverse.bvh_closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
@@ -244,6 +244,14 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
                 sg(scene.geom.vertices),
                 sg(scene.geom.indices),
                 max_leaf=cfg.max_leaf,
+            )
+        else:
+            from tracer.accel import wide as wide_mod
+
+            sg = jax.lax.stop_gradient
+            t_m, tri = wide_mod.closest_hit(
+                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
+                scene.wide,
             )
         ok = tri >= 0
         tri_c = jnp.clip(tri, 0, scene.geom.indices.shape[0] - 1)
@@ -346,7 +354,7 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
             b = bsp_mod.bsp_any_hit(
                 srays, scene.bsp, sg(scene.geom.vertices), sg(scene.geom.indices)
             )
-        else:
+        elif cfg.traversal == "bvh2":
             b = traverse.bvh_any_hit(
                 srays,
                 scene.bvh,
@@ -354,6 +362,10 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
                 sg(scene.geom.indices),
                 max_leaf=cfg.max_leaf,
             )
+        else:
+            from tracer.accel import wide as wide_mod
+
+            b = wide_mod.any_hit(srays, scene.wide)
         blocked = blocked | b
     return blocked
 
@@ -500,13 +512,17 @@ def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
         return bsp_mod.bsp_any_hit(
             srays, scene.bsp, sg(scene.geom.vertices), sg(scene.geom.indices)
         )
-    return traverse.bvh_any_hit(
-        srays,
-        scene.bvh,
-        sg(scene.geom.vertices),
-        sg(scene.geom.indices),
-        max_leaf=cfg.max_leaf,
-    )
+    if cfg.traversal == "bvh2":
+        return traverse.bvh_any_hit(
+            srays,
+            scene.bvh,
+            sg(scene.geom.vertices),
+            sg(scene.geom.indices),
+            max_leaf=cfg.max_leaf,
+        )
+    from tracer.accel import wide as wide_mod
+
+    return wide_mod.any_hit(srays, scene.wide)
 
 
 def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
@@ -836,11 +852,14 @@ def _shade_holdout(scene, cfg, rays, hit, factor, state):
 
 def shade(scene, cfg, rays, hit, factor, emit, state):
     """Material dispatch — the WGSL ``shade`` switch (w9e2.wgsl:436-466) as
-    masked branch blending. Returns
+    masked branch blending. Only shader ids in ``cfg.possible_shaders`` emit
+    code (each reference scene compiles only its own switch arms); absent
+    ids fall through to the error color. Returns
     (color, new_rays, cont, factor', emit', state')."""
     n_lanes = hit.t.shape[0]
     z3 = jnp.zeros((n_lanes, 3), jnp.float32)
     sid = hit.shader
+    possible = set(cfg.possible_shaders)
 
     color = jnp.broadcast_to(ERROR_COLOR, (n_lanes, 3))
     new_rays = rays
@@ -866,65 +885,79 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
     albedo = _plane_albedo(scene, cfg, hit)
 
     # Lambertian (0)
-    m = sid == SHADER_LAMBERTIAN
-    if cfg.mode == "path":
-        c, nr, ct, f, e, s = _shade_lambertian_path(
-            scene, cfg, rays, hit, factor, emit, state
-        )
-        merge(m, c, nr, ct, f, e, s)
-    else:
-        c = _shade_lambertian_direct(scene, cfg, rays, hit, albedo)
-        merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state)
+    if SHADER_LAMBERTIAN in possible:
+        m = sid == SHADER_LAMBERTIAN
+        if cfg.mode == "path":
+            c, nr, ct, f, e, s = _shade_lambertian_path(
+                scene, cfg, rays, hit, factor, emit, state
+            )
+            merge(m, c, nr, ct, f, e, s)
+        else:
+            c = _shade_lambertian_direct(scene, cfg, rays, hit, albedo)
+            merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state)
 
     # Phong (1) — direct-mode shading model.
-    m = sid == SHADER_PHONG
-    c = _shade_phong(scene, cfg, rays, hit)
-    merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state)
+    if SHADER_PHONG in possible:
+        m = sid == SHADER_PHONG
+        c = _shade_phong(scene, cfg, rays, hit)
+        merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state)
 
     # Mirror (2)
-    m = sid == SHADER_MIRROR
-    nr = _reflect_continue(rays, hit, cfg)
-    merge(
-        m, z3, nr, jnp.ones(n_lanes, bool), factor,
-        jnp.ones(n_lanes, bool) if cfg.mode == "path" else emit, state,
-    )
+    if SHADER_MIRROR in possible:
+        m = sid == SHADER_MIRROR
+        nr = _reflect_continue(rays, hit, cfg)
+        merge(
+            m, z3, nr, jnp.ones(n_lanes, bool), factor,
+            jnp.ones(n_lanes, bool) if cfg.mode == "path" else emit, state,
+        )
 
     # Transmit (3) / Glossy (4) — deterministic dielectric (w2 family).
-    tc, tnr, tct, _tir = _shade_transmit_direct(rays, hit, cfg)
-    m = sid == SHADER_TRANSMIT
-    merge(m, tc, tnr, tct, factor, emit, state)
-    m = sid == SHADER_GLOSSY
-    pc = _shade_phong(scene, cfg, rays, hit)
-    merge(m, pc + tc, tnr, tct, factor, emit, state)
+    if (
+        SHADER_TRANSMIT in possible
+        or SHADER_GLOSSY in possible
+        or (SHADER_TRANSPARENT in possible and cfg.mode != "path")
+    ):
+        tc, tnr, tct, _tir = _shade_transmit_direct(rays, hit, cfg)
+        if SHADER_TRANSMIT in possible:
+            m = sid == SHADER_TRANSMIT
+            merge(m, tc, tnr, tct, factor, emit, state)
+        if SHADER_GLOSSY in possible:
+            m = sid == SHADER_GLOSSY
+            pc = _shade_phong(scene, cfg, rays, hit)
+            merge(m, pc + tc, tnr, tct, factor, emit, state)
+        if SHADER_TRANSPARENT in possible and cfg.mode != "path":
+            m = sid == SHADER_TRANSPARENT
+            merge(m, tc, tnr, tct, factor, emit, state)
 
     # Normal (5)
-    m = sid == SHADER_NORMAL
-    merge(
-        m, (hit.normal + 1.0) * 0.5, rays, jnp.zeros(n_lanes, bool),
-        factor, emit, state,
-    )
+    if SHADER_NORMAL in possible:
+        m = sid == SHADER_NORMAL
+        merge(
+            m, (hit.normal + 1.0) * 0.5, rays, jnp.zeros(n_lanes, bool),
+            factor, emit, state,
+        )
 
     # Base color (6): diffuse + ambient/emission (w9e2.wgsl:629-633).
-    m = sid == SHADER_BASECOLOR
-    merge(
-        m, albedo + hit.emission, rays, jnp.zeros(n_lanes, bool),
-        factor, emit, state,
-    )
+    if SHADER_BASECOLOR in possible:
+        m = sid == SHADER_BASECOLOR
+        merge(
+            m, albedo + hit.emission, rays, jnp.zeros(n_lanes, bool),
+            factor, emit, state,
+        )
 
     # Transparent (7) — stochastic Fresnel dielectric (path family).
-    m = sid == SHADER_TRANSPARENT
-    if cfg.mode == "path":
+    if SHADER_TRANSPARENT in possible and cfg.mode == "path":
+        m = sid == SHADER_TRANSPARENT
         c, nr, ct, f, e, s = _shade_transparent_path(
             scene, cfg, rays, hit, factor, state
         )
         merge(m, c, nr, ct, f, e, s)
-    else:
-        merge(m, tc, tnr, tct, factor, emit, state)
 
     # Holdout (8)
-    m = sid == SHADER_HOLDOUT
-    c, s = _shade_holdout(scene, cfg, rays, hit, factor, state)
-    merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, s)
+    if SHADER_HOLDOUT in possible:
+        m = sid == SHADER_HOLDOUT
+        c, s = _shade_holdout(scene, cfg, rays, hit, factor, state)
+        merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, s)
 
     return color, new_rays, cont, factor_out, emit_out, state_out
 
@@ -936,8 +969,13 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
 
 def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
     """The fragment-shader main loop (w8e3.wgsl:264-275) over the wavefront:
-    scan ``max_depth`` bounces, accumulating ``result += shade(...)`` and
-    stopping lanes on miss or terminal shade."""
+    iterate up to ``max_depth`` bounces, accumulating ``result += shade(...)``
+    and stopping lanes on miss or terminal shade.
+
+    Driver: cfg.loop == "while" exits as soon as every lane is done (one
+    traversal total for terminal-shader scenes); "scan" runs the static
+    depth and is reverse-mode differentiable.
+    """
     n = rays0.o.shape[0]
 
     def body(carry, _):
@@ -983,6 +1021,21 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         jnp.zeros(n, bool),
         state0,
     )
+    if cfg.loop == "while":
+        def wcond(st):
+            i, carry = st
+            done = carry[4]
+            return (i < cfg.max_depth) & jnp.any(~done)
+
+        def wbody(st):
+            i, carry = st
+            carry, _ = body(carry, None)
+            return i + 1, carry
+
+        _, (rays, result, factor, emit, done, state) = jax.lax.while_loop(
+            wcond, wbody, (jnp.int32(0), carry0)
+        )
+        return result
     (rays, result, factor, emit, done, state), _ = jax.lax.scan(
         body, carry0, None, length=cfg.max_depth
     )

@@ -120,6 +120,15 @@ class SceneConfig:
     subdivs: int = 1  # stratified sub-pixel grid (1..10, w3e3)
     max_leaf: int = 8  # static unroll bound for BVH leaf tests
     sphere_ior_default: float = 1.5
+    # Shader ids that can occur in this scene (compile-time). Branches for
+    # absent ids are not emitted — the analog of each reference scene
+    # compiling only its own WGSL shade switch. Changing a material
+    # selection to an id outside this set requires a rebuild (recompile).
+    possible_shaders: tuple = (0, 1, 2, 3, 4, 5, 6, 7, 8)
+    # Bounce-loop driver: "while" exits as soon as every lane terminated
+    # (fast rendering); "scan" runs the full static depth (reverse-mode
+    # differentiable — used by tracer.diff).
+    loop: str = "while"
     name: str = ""
 
 
@@ -136,6 +145,7 @@ class Scene:
     materials: Optional[MaterialTable]
     light_indices: Optional[jnp.ndarray]  # (L,) i32 emissive triangle ids
     bvh: Optional[BvhBuffers]
+    wide: Optional[object]  # WideBvh — TPU-shaped 8-ary BVH (accel.wide)
     bsp: Optional[object]  # BspBuffers (imported lazily to avoid cycles)
     env: Optional[TextureBuf]
     texture: Optional[TextureBuf]  # plane texture (grass.jpg)
@@ -152,6 +162,7 @@ def make_scene(
     materials: Optional[MaterialTable] = None,
     light_indices=None,
     bvh: Optional[BvhBuffers] = None,
+    wide=None,
     bsp=None,
     env: Optional[TextureBuf] = None,
     texture: Optional[TextureBuf] = None,
@@ -167,6 +178,7 @@ def make_scene(
         materials=materials,
         light_indices=light_indices,
         bvh=bvh,
+        wide=wide,
         bsp=bsp,
         env=env,
         texture=texture,

@@ -55,9 +55,32 @@ def _load_texture_cached(path: str, rgbe: bool):
     return tex.load_image(path)
 
 
+def _possible_shaders(desc: SceneDescriptor):
+    """Statically enumerate shader ids this scene can produce (analytic
+    primitives + mesh shader, with selection sentinels resolved to the
+    descriptor's current selections)."""
+    ids = set()
+    for s in desc.spheres:
+        ids.add(_resolve_static(s[2], desc))
+    for p in desc.planes:
+        ids.add(_resolve_static(p[4], desc))
+    for t in desc.tris:
+        ids.add(_resolve_static(t[3], desc))
+    if desc.model is not None:
+        ids.add(_resolve_static(desc.cfg.mesh_shader, desc))
+    ids.discard(255)
+    return tuple(sorted(ids))
+
+
 def build_scene(desc: SceneDescriptor):
     """Build the device scene for a descriptor; returns (Scene, SceneConfig)."""
-    cfg = desc.cfg
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        desc.cfg,
+        possible_shaders=_possible_shaders(desc),
+        max_leaf=min(desc.cfg.max_leaf, desc.bvh_leaf),
+    )
     f32 = jnp.float32
 
     spheres = None
@@ -88,17 +111,26 @@ def build_scene(desc: SceneDescriptor):
         v0, v1, v2, sh, bc = zip(*desc.tris)
         tris = AnalyticTriangles(
             verts=jnp.asarray(
-                np.stack([np.stack(v) for v in zip(v0, v1, v2)], axis=1), f32
+                np.stack([np.stack(v) for v in zip(v0, v1, v2)], axis=0), f32
             ),
             shader=jnp.asarray(sh, jnp.int32),
             base_color=jnp.asarray(bc, f32),
         )
 
-    geom = materials = light_indices = bvh = bsp = None
+    geom = materials = light_indices = bvh = wide = bsp = None
     if desc.model is not None:
         mesh = _load_mesh_cached(desc.model, desc.model_scale)
         geom, materials, light_indices = upload_mesh(mesh)
+        # Tiny meshes: a dense brute-force sweep beats any gather-based
+        # traversal on TPU (no random access at all).
+        if mesh.num_triangles <= 64 and cfg.traversal in ("bvh", "bsp"):
+            cfg = dataclasses.replace(cfg, traversal="brute")
         if cfg.traversal == "bvh":
+            from tracer.accel import wide as wide_mod
+
+            binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
+            wide = wide_mod.build(binary, mesh.vertices, mesh.indices)
+        elif cfg.traversal == "bvh2":
             import jax
 
             bvh = jax.tree.map(
@@ -135,6 +167,7 @@ def build_scene(desc: SceneDescriptor):
         materials=materials,
         light_indices=light_indices,
         bvh=bvh,
+        wide=wide,
         bsp=bsp,
         env=env,
         texture=texture,

@@ -179,8 +179,8 @@ def get_scenes() -> list[SceneDescriptor]:
                         use_vertex_normals=False),
             model=f"{REF_RES}/models/CornellBoxWithBlocks.obj"))
     add(_mk("W5 E5 Cornell Box", "w5e5.wgsl", CORNELL_CAM, (512, 512),
-            cfg_kw=dict(_MESH_DIRECT, lights=("area_all",), ambient="plain",
-                        use_vertex_normals=False),
+            cfg_kw=dict(_MESH_DIRECT, eta=1e-3, lights=("area_all",),
+                        ambient="plain", use_vertex_normals=False),
             model=f"{REF_RES}/models/CornellBoxWithBlocks.obj"))
 
     # --- Worksheet 6 (accelerated traversal; e1 teapot/bunny/dragon).
