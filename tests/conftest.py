@@ -3,7 +3,10 @@ sharding paths are testable without TPU hardware (SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional (not setdefault): the ambient environment may pin
+# JAX_PLATFORMS to a real accelerator, but the suite needs the virtual
+# 8-device CPU mesh. Set TRACER_TEST_PLATFORM to override.
+os.environ["JAX_PLATFORMS"] = os.environ.get("TRACER_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

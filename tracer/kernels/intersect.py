@@ -21,6 +21,18 @@ from tracer.util import pytree_dataclass
 INF = jnp.float32(3.0e38)
 
 
+def _safe_denom(denom, tiny: float = 1.0e-20):
+    """Sign-preserving clamp away from zero before a reciprocal.
+
+    Lanes with |denom| < tiny are always rejected by the [tmin, tmax] window
+    (t blows past tmax), but an unguarded 1/denom puts inf in the backward
+    Jacobian and 0 * inf = NaN leaks through downstream ``where`` masks —
+    this is what makes the whole forward pass differentiable wrt geometry.
+    """
+    mag = jnp.maximum(jnp.abs(denom), tiny)
+    return jnp.where(denom < 0.0, -mag, mag)
+
+
 @pytree_dataclass
 class Rays:
     """A wavefront of rays, SoA over the batch axis."""
@@ -59,7 +71,10 @@ def sphere_t(rays: Rays, center, radius):
     b2 = vec.dot(oc, rays.d)
     c = vec.dot(oc, oc) - radius * radius
     disc = b2 * b2 - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where safe sqrt: sqrt's backward at 0 is inf, and 0 * inf = NaN
+    # leaks through downstream `where` masks on miss lanes.
+    disc_pos = disc > 0.0
+    sq = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
     r0 = (-b2 - sq) / a
     r1 = (-b2 + sq) / a
     r0_ok = (r0 >= rays.tmin) & (r0 <= rays.tmax)
@@ -71,7 +86,7 @@ def sphere_t(rays: Rays, center, radius):
 
 def plane_t(rays: Rays, position, normal):
     """Infinite-plane hit distance; (t, valid) (``w9e2.wgsl:386-404``)."""
-    denom = vec.dot(rays.d, normal)
+    denom = _safe_denom(vec.dot(rays.d, normal))
     t = vec.dot(position - rays.o, normal) / denom
     valid = (t >= rays.tmin) & (t <= rays.tmax)
     return t, valid
@@ -92,7 +107,7 @@ def triangle_t(rays: Rays, v0, v1, v2, eps_denom: float = 0.0):
     o_to_v0 = v0 - rays.o
     n = vec.cross(e0, e1)
     nom = vec.cross(o_to_v0, rays.d)
-    denom = vec.dot(rays.d, n)
+    denom = _safe_denom(vec.dot(rays.d, n))
     inv = 1.0 / denom
     beta = vec.dot(nom, e1) * inv
     gamma = -vec.dot(nom, e0) * inv
@@ -118,7 +133,7 @@ def aabb_slab(rays: Rays, lo, hi, pad: float = 1.0e-4):
     clamps the ray interval. Conservative, so correct for its purpose of
     bounding the traversal interval.
     """
-    inv_d = 1.0 / rays.d
+    inv_d = 1.0 / _safe_denom(rays.d, tiny=1.0e-20)
     t0 = (lo - rays.o) * inv_d
     t1 = (hi - rays.o) * inv_d
     pmin = jnp.minimum(t0, t1)
