@@ -13,6 +13,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The ambient environment may import jax at interpreter startup (a
+# sitecustomize registering an accelerator backend), in which case jax's
+# config has already captured JAX_PLATFORMS from the pre-conftest env and
+# the os.environ write above is too late. Re-apply through the config API.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_platforms", os.environ.get("TRACER_TEST_PLATFORM", "cpu")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -39,7 +39,9 @@ from tracer.util import pytree_dataclass
 ROW = 96
 B = 8  # branching factor
 K = 8  # max triangles per leaf row
-MAX_LEVELS = 8  # 4-bit trail digits in an int32 (rank can reach 8, so 4 bits)
+# 4-bit trail digits (rank can reach 8) packed into TWO int32 words:
+# levels 0..7 in the low word, 8..15 in the high word.
+MAX_LEVELS = 16
 _INF = np.float32(3.0e38)
 
 
@@ -157,6 +159,32 @@ def _unpack_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _trail_digit(lo, hi, lvl):
+    """Read the 4-bit rank digit of level ``lvl`` from the two trail words."""
+    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
+    word = jnp.where(lvl_c < 8, lo, hi)
+    shift = (lvl_c & 7) * 4
+    return (word >> shift) & 15
+
+
+def _trail_clear(lo, hi, lvl):
+    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
+    mask = ~(jnp.int32(15) << ((lvl_c & 7) * 4))
+    return (
+        jnp.where(lvl_c < 8, lo & mask, lo),
+        jnp.where(lvl_c < 8, hi, hi & mask),
+    )
+
+
+def _trail_incr(lo, hi, lvl):
+    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
+    add = jnp.int32(1) << ((lvl_c & 7) * 4)
+    return (
+        jnp.where(lvl_c < 8, lo + add, lo),
+        jnp.where(lvl_c < 8, hi, hi + add),
+    )
+
+
 def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
     """Ordered DFS over the wide tree, trail-based (no stack arrays).
 
@@ -172,11 +200,11 @@ def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
     tmin0 = rays.tmin
 
     def cond(st):
-        it, cur, level, trail, best_t, best_id = st
+        it, cur, level, trail_lo, trail_hi, best_t, best_id = st
         return (it < MAX_ITERS) & jnp.any(cur >= 0)
 
     def body(st):
-        it, cur, level, trail, best_t, best_id = st
+        it, cur, level, trail_lo, trail_hi, best_t, best_id = st
         active = cur >= 0
         row = table[jnp.clip(cur, 0, table.shape[0] - 1)]  # (N, 96)
         parent = _unpack_i32(row[:, 0])
@@ -241,8 +269,7 @@ def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
         rank = jnp.sum(less, axis=1).astype(jnp.int32)  # (N, 8)
         n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
 
-        shift = jnp.clip(level, 0, MAX_LEVELS - 1) * 4
-        r = (trail >> shift) & 15  # rank to visit at this level
+        r = _trail_digit(trail_lo, trail_hi, level)  # rank at this level
 
         sel = rank == r[:, None]
         sel_ref = jnp.sum(jnp.where(sel, refs, 0), axis=1)
@@ -259,15 +286,12 @@ def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
 
         # Descend: level+1, child's rank digit reset to 0.
         lvl_d = level + 1
-        shift_d = jnp.clip(lvl_d, 0, MAX_LEVELS - 1) * 4
-        trail_d = trail & ~(jnp.int32(15) << shift_d)
+        trail_d_lo, trail_d_hi = _trail_clear(trail_lo, trail_hi, lvl_d)
 
         # Up: level-1, parent's rank digit += 1, clear this level's digit.
         lvl_u = level - 1
-        shift_u = jnp.clip(lvl_u, 0, MAX_LEVELS - 1) * 4
-        trail_u = (trail & ~(jnp.int32(15) << shift)) + (
-            jnp.int32(1) << shift_u
-        )
+        trail_u_lo, trail_u_hi = _trail_clear(trail_lo, trail_hi, level)
+        trail_u_lo, trail_u_hi = _trail_incr(trail_u_lo, trail_u_hi, lvl_u)
 
         cur_next = jnp.where(
             descend, sel_ref, jnp.where(go_up & (lvl_u >= 0), parent, cur)
@@ -278,20 +302,24 @@ def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
         cur_next = jnp.where(done_now, -1, cur_next)
         cur_next = jnp.where(active, cur_next, cur)
         level = jnp.where(descend, lvl_d, jnp.where(go_up, lvl_u, level))
-        trail = jnp.where(
-            descend, trail_d, jnp.where(go_up, trail_u, trail)
+        trail_lo = jnp.where(
+            descend, trail_d_lo, jnp.where(go_up, trail_u_lo, trail_lo)
         )
-        return it + 1, cur_next, level, trail, best_t, best_id
+        trail_hi = jnp.where(
+            descend, trail_d_hi, jnp.where(go_up, trail_u_hi, trail_hi)
+        )
+        return it + 1, cur_next, level, trail_lo, trail_hi, best_t, best_id
 
     st = (
         jnp.int32(0),
         jnp.zeros(n, jnp.int32),  # start at root row 0
         jnp.zeros(n, jnp.int32),  # level 0
-        jnp.zeros(n, jnp.int32),  # trail
+        jnp.zeros(n, jnp.int32),  # trail low word (levels 0..7)
+        jnp.zeros(n, jnp.int32),  # trail high word (levels 8..15)
         rays.tmax,
         jnp.full(n, -1, jnp.int32),
     )
-    _, _, _, _, best_t, best_id = jax.lax.while_loop(cond, body, st)
+    _, _, _, _, _, best_t, best_id = jax.lax.while_loop(cond, body, st)
     return best_t, best_id
 
 
