@@ -152,183 +152,205 @@ def build(bvh: BvhBuffers, vertices: np.ndarray, indices: np.ndarray) -> WideBvh
 # Traversal
 # ---------------------------------------------------------------------------
 
-MAX_ITERS = 2048
+# Safety cap far above any real traversal (every row is visited at most once
+# and each ascend step consumes a stack slot, so iterations are bounded by
+# ~2x rows-intersected); the reference uses the same belt-and-braces bound
+# idea at 1000 (``bvh.wgsl:164``).
+MAX_ITERS = 1 << 17
+
+# Wavefront chunk: the while-loop runs to its *worst* lane, so traversal is
+# tiled into chunks that retire independently — coherent chunks (sky tiles,
+# shallow regions) exit after a handful of iterations instead of riding along
+# with the deepest ray in the frame.
+CHUNK = 16384
 
 
 def _unpack_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _trail_digit(lo, hi, lvl):
-    """Read the 4-bit rank digit of level ``lvl`` from the two trail words."""
-    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
-    word = jnp.where(lvl_c < 8, lo, hi)
-    shift = (lvl_c & 7) * 4
-    return (word >> shift) & 15
-
-
-def _trail_clear(lo, hi, lvl):
-    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
-    mask = ~(jnp.int32(15) << ((lvl_c & 7) * 4))
-    return (
-        jnp.where(lvl_c < 8, lo & mask, lo),
-        jnp.where(lvl_c < 8, hi, hi & mask),
-    )
-
-
-def _trail_incr(lo, hi, lvl):
-    lvl_c = jnp.clip(lvl, 0, MAX_LEVELS - 1)
-    add = jnp.int32(1) << ((lvl_c & 7) * 4)
-    return (
-        jnp.where(lvl_c < 8, lo + add, lo),
-        jnp.where(lvl_c < 8, hi, hi + add),
-    )
-
-
 def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
-    """Ordered DFS over the wide tree, trail-based (no stack arrays).
+    """Ordered DFS with a per-level sibling stack — each row visited once.
 
-    Per-lane state: current row id, level, base-8 trail (rank per level),
-    best (t, prim). One table gather per iteration; everything else is dense
-    VPU math. Any-hit retires a lane at its first confirmed intersection.
+    Per-lane state: current row, level, and a (depth, 8) stack of the sibling
+    (near, ref) rows written on the way down. Visiting an inner row slab-tests
+    all 8 children, descends into the nearest, and parks the rest at
+    ``stack[level]``; when a subtree finishes, ascend steps argmin-pick the
+    next unconsumed sibling (pruned against the shrinking ``best_t``) without
+    ever re-gathering the parent table row. This replaces the earlier
+    restart-trail walk, which paid one parent-row revisit per child (~5x the
+    iterations). Any-hit retires a lane at its first confirmed intersection.
     """
     n = rays.o.shape[0]
     table = wb.table
+    D = max(int(wb.depth), 1)
     o = rays.o
     d = rays.d
     inv_d = 1.0 / d
     tmin0 = rays.tmin
 
     def cond(st):
-        it, cur, level, trail_lo, trail_hi, best_t, best_id = st
-        return (it < MAX_ITERS) & jnp.any(cur >= 0)
+        it, cur, level, asc, done, snear, sref, best_t, best_id = st
+        return (it < MAX_ITERS) & jnp.any(~done)
 
     def body(st):
-        it, cur, level, trail_lo, trail_hi, best_t, best_id = st
-        active = cur >= 0
+        it, cur, level, asc, done, snear, sref, best_t, best_id = st
+        visit = ~done & ~asc
         row = table[jnp.clip(cur, 0, table.shape[0] - 1)]  # (N, 96)
-        parent = _unpack_i32(row[:, 0])
         leaf_count = _unpack_i32(row[:, 1])
-        is_leaf = leaf_count > 0
+        is_leaf = visit & (leaf_count > 0)
 
-        # ---- Leaf: test K triangles (dense, data already in-row).
-        lt = best_t
-        lid = best_id
-        tri_block = row[:, 2:74]
-        pid_block = _unpack_i32(row[:, 74:82])
-        hit_any_leaf = jnp.zeros(n, bool)
-        for k in range(K):
-            base = k * 9
-            v0 = tri_block[:, base : base + 3]
-            v1 = tri_block[:, base + 3 : base + 6]
-            v2 = tri_block[:, base + 6 : base + 9]
-            e0 = v1 - v0
-            e1 = v2 - v0
-            o_to_v0 = v0 - o
-            nrm = jnp.cross(e0, e1)
-            nom = jnp.cross(o_to_v0, d)
-            denom = jnp.sum(d * nrm, axis=-1)
-            inv = 1.0 / denom
-            beta = jnp.sum(nom * e1, axis=-1) * inv
-            gamma = -jnp.sum(nom * e0, axis=-1) * inv
-            t = jnp.sum(o_to_v0 * nrm, axis=-1) * inv
-            pid = pid_block[:, k]
-            ok = (
-                is_leaf
-                & (k < leaf_count)
-                & (pid >= 0)
-                & (beta >= 0.0)
-                & (gamma >= 0.0)
-                & (beta + gamma <= 1.0)
-                & (t >= tmin0)
-                & (t <= lt)
-            )
-            lid = jnp.where(ok, pid, lid)
-            lt = jnp.where(ok, t, lt)
-            hit_any_leaf = hit_any_leaf | ok
-        best_t = jnp.where(active, lt, best_t)
-        best_id = jnp.where(active, lid, best_id)
+        # ---- Leaf: test K triangles, vectorized over the slot axis (dense
+        # VPU math; the data is already in-row from the single table gather).
+        tri = row[:, 2:74].reshape(n, K, 9)
+        pid = _unpack_i32(row[:, 74:82])  # (N, K)
+        v0 = tri[:, :, 0:3]
+        v1 = tri[:, :, 3:6]
+        v2 = tri[:, :, 6:9]
+        e0 = v1 - v0
+        e1 = v2 - v0
+        o_to_v0 = v0 - o[:, None, :]
+        nrm = jnp.cross(e0, e1)
+        nom = jnp.cross(o_to_v0, d[:, None, :])
+        denom = jnp.sum(d[:, None, :] * nrm, axis=-1)
+        inv = 1.0 / denom
+        beta = jnp.sum(nom * e1, axis=-1) * inv
+        gamma = -jnp.sum(nom * e0, axis=-1) * inv
+        t = jnp.sum(o_to_v0 * nrm, axis=-1) * inv
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
+        ok = (
+            is_leaf[:, None]
+            & (slot < leaf_count[:, None])
+            & (pid >= 0)
+            & (beta >= 0.0)
+            & (gamma >= 0.0)
+            & (beta + gamma <= 1.0)
+            & (t >= tmin0[:, None])
+            & (t <= best_t[:, None])
+        )
+        tcand = jnp.where(ok, t, _INF)
+        karg = jnp.argmin(tcand, axis=1)
+        ksel = jax.nn.one_hot(karg, K, dtype=bool)
+        kmin = jnp.min(tcand, axis=1)
+        got = kmin < best_t
+        best_id = jnp.where(
+            got, jnp.sum(jnp.where(ksel, pid, 0), axis=1), best_id
+        )
+        best_t = jnp.where(got, kmin, best_t)
 
-        # ---- Inner: 8-wide slab test + rank selection.
+        # ---- Inner: 8-wide slab test, descend into the nearest child.
         boxes = row[:, 2:50].reshape(n, B, 6)
         refs = _unpack_i32(row[:, 50:58])  # (N, 8)
         t0 = (boxes[:, :, 0:3] - o[:, None, :]) * inv_d[:, None, :]
         t1 = (boxes[:, :, 3:6] - o[:, None, :]) * inv_d[:, None, :]
         near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, 8)
         far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        valid = (refs >= 0) & (near <= far) & (far >= tmin0[:, None])
-        # Fixed membership & ordering (independent of the shrinking best_t)
-        # so ranks are stable across repeat visits.
-        tkey = jnp.where(valid, jnp.maximum(near, 0.0), _INF)
-        # rank_j = #{k: t_k < t_j or (t_k == t_j and k < j)}
-        tk = tkey[:, :, None]  # over k
-        tj = tkey[:, None, :]  # over j
-        kk = jnp.arange(B)[:, None]
-        jj = jnp.arange(B)[None, :]
-        less = (tk < tj) | ((tk == tj) & (kk < jj))
-        rank = jnp.sum(less, axis=1).astype(jnp.int32)  # (N, 8)
-        n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+        child_ok = (
+            (refs >= 0)
+            & (near <= far)
+            & (far >= tmin0[:, None])
+            & (near < best_t[:, None])
+        )
+        tkey = jnp.where(child_ok, jnp.maximum(near, 0.0), _INF)
+        c_arg = jnp.argmin(tkey, axis=1)
+        c_sel = jax.nn.one_hot(c_arg, B, dtype=bool)
+        c_key = jnp.min(tkey, axis=1)
+        has_child = visit & ~is_leaf & (c_key < _INF)
+        c_ref = jnp.sum(jnp.where(c_sel, refs, 0), axis=1)
 
-        r = _trail_digit(trail_lo, trail_hi, level)  # rank at this level
+        # ---- Per-level sibling stack row at this lane's level. The stack is
+        # small and dense (N, D, 8); reads/writes go through one-hot level
+        # masks — dense VPU selects — because XLA gather/scatter with per-lane
+        # indices is orders of magnitude slower than a masked select here.
+        lvl = jnp.clip(level, 0, D - 1)
+        lvl_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, D), 1) == lvl[:, None]
+        )  # (N, D)
+        s_near = jnp.sum(jnp.where(lvl_hot[:, :, None], snear, 0.0), axis=1)
+        s_ref = jnp.sum(jnp.where(lvl_hot[:, :, None], sref, 0), axis=1)
+        a_key = jnp.where(s_near < best_t[:, None], s_near, _INF)
+        a_arg = jnp.argmin(a_key, axis=1)
+        a_sel = jax.nn.one_hot(a_arg, B, dtype=bool)
+        a_min = jnp.min(a_key, axis=1)
+        a_has = asc & ~done & (a_min < _INF)
+        a_ref = jnp.sum(jnp.where(a_sel, s_ref, 0), axis=1)
 
-        sel = rank == r[:, None]
-        sel_ref = jnp.sum(jnp.where(sel, refs, 0), axis=1)
-        sel_near = jnp.sum(jnp.where(sel, tkey, 0.0), axis=1)
-        has_sel = (r < n_valid) & (sel_near < best_t)
+        # Stack writes: inner-descend lanes park the non-chosen siblings at
+        # stack[level]; ascend-pick lanes consume their chosen slot (INF);
+        # everyone else's row is rewritten with its own unchanged value.
+        new_near = jnp.where(
+            has_child[:, None],
+            jnp.where(c_sel, _INF, tkey),
+            jnp.where((a_has[:, None] & a_sel), _INF, s_near),
+        )
+        new_ref = jnp.where(has_child[:, None], refs, s_ref)
+        snear = jnp.where(lvl_hot[:, :, None], new_near[:, None, :], snear)
+        sref = jnp.where(lvl_hot[:, :, None], new_ref[:, None, :], sref)
 
-        descend = active & ~is_leaf & has_sel
-        go_up = active & ~descend  # leaf done, ranks exhausted, or pruned
+        # ---- Transitions.
+        go_asc = (visit & ~has_child) | (asc & ~done & ~a_has)
+        descend = has_child | a_has
         if any_hit:
-            # retire immediately on any confirmed hit
-            retired = active & (best_id >= 0)
+            retired = ~done & (best_id >= 0)
+            go_asc = go_asc & ~retired
             descend = descend & ~retired
-            go_up = go_up & ~retired
-
-        # Descend: level+1, child's rank digit reset to 0.
-        lvl_d = level + 1
-        trail_d_lo, trail_d_hi = _trail_clear(trail_lo, trail_hi, lvl_d)
-
-        # Up: level-1, parent's rank digit += 1, clear this level's digit.
-        lvl_u = level - 1
-        trail_u_lo, trail_u_hi = _trail_clear(trail_lo, trail_hi, level)
-        trail_u_lo, trail_u_hi = _trail_incr(trail_u_lo, trail_u_hi, lvl_u)
-
-        cur_next = jnp.where(
-            descend, sel_ref, jnp.where(go_up & (lvl_u >= 0), parent, cur)
+            done = done | retired
+        cur = jnp.where(has_child, c_ref, jnp.where(a_has, a_ref, cur))
+        level = jnp.where(
+            descend, lvl + 1, jnp.where(go_asc, level - 1, level)
         )
-        done_now = go_up & (lvl_u < 0)
-        if any_hit:
-            done_now = done_now | (active & (best_id >= 0))
-        cur_next = jnp.where(done_now, -1, cur_next)
-        cur_next = jnp.where(active, cur_next, cur)
-        level = jnp.where(descend, lvl_d, jnp.where(go_up, lvl_u, level))
-        trail_lo = jnp.where(
-            descend, trail_d_lo, jnp.where(go_up, trail_u_lo, trail_lo)
-        )
-        trail_hi = jnp.where(
-            descend, trail_d_hi, jnp.where(go_up, trail_u_hi, trail_hi)
-        )
-        return it + 1, cur_next, level, trail_lo, trail_hi, best_t, best_id
+        asc = jnp.where(descend, False, jnp.where(go_asc, True, asc))
+        done = done | (go_asc & (level < 0))
+        return it + 1, cur, level, asc, done, snear, sref, best_t, best_id
 
     st = (
         jnp.int32(0),
-        jnp.zeros(n, jnp.int32),  # start at root row 0
-        jnp.zeros(n, jnp.int32),  # level 0
-        jnp.zeros(n, jnp.int32),  # trail low word (levels 0..7)
-        jnp.zeros(n, jnp.int32),  # trail high word (levels 8..15)
+        jnp.zeros(n, jnp.int32),  # cur = root row 0
+        jnp.zeros(n, jnp.int32),  # level
+        jnp.zeros(n, bool),  # ascending
+        jnp.zeros(n, bool),  # done
+        jnp.full((n, D, B), _INF, jnp.float32),  # stack nears
+        jnp.full((n, D, B), -1, jnp.int32),  # stack refs
         rays.tmax,
         jnp.full(n, -1, jnp.int32),
     )
-    _, _, _, _, _, best_t, best_id = jax.lax.while_loop(cond, body, st)
+    out = jax.lax.while_loop(cond, body, st)
+    best_t, best_id = out[-2], out[-1]
     return best_t, best_id
 
 
-def closest_hit(rays: Rays, wb: WideBvh):
+def _traverse_chunked(rays: Rays, wb: WideBvh, any_hit_flag: bool, chunk: int):
+    n = rays.o.shape[0]
+    if n <= chunk:
+        return _traverse(rays, wb, any_hit_flag)
+    pad = (-n) % chunk
+    c = (n + pad) // chunk
+
+    def padded(x, fill):
+        if x.ndim == 1:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(c, chunk)
+        x = jnp.concatenate([x, jnp.full((pad, x.shape[1]), fill, x.dtype)])
+        return x.reshape(c, chunk, x.shape[1])
+
+    # Padding rays: origin far outside the scene with tmax < tmin, so the
+    # root expansion prunes every child and the lane retires immediately.
+    chunks = Rays(
+        o=padded(rays.o, 1.0e30),
+        d=padded(rays.d, 1.0),
+        tmin=padded(rays.tmin, 1.0),
+        tmax=padded(rays.tmax, 0.0),
+    )
+    t, pid = jax.lax.map(lambda r: _traverse(r, wb, any_hit_flag), chunks)
+    return t.reshape(-1)[:n], pid.reshape(-1)[:n]
+
+
+def closest_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK):
     """(t, prim_id) closest hit; prim_id == -1 on miss."""
-    return _traverse(rays, wb, any_hit=False)
+    return _traverse_chunked(rays, wb, False, chunk)
 
 
-def any_hit(rays: Rays, wb: WideBvh):
+def any_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK):
     """Occlusion query over [tmin, tmax]."""
-    _, pid = _traverse(rays, wb, any_hit=True)
+    _, pid = _traverse_chunked(rays, wb, True, chunk)
     return pid >= 0
