@@ -483,9 +483,11 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
                 w_i = -normalize(np.array(cfg.dir_light_direction, F))
                 l_i = np.array(cfg.dir_light_intensity, F)
             elif kind == "directional_n":
+                # project.wgsl:286-293 / w6e1.wgsl:288-293: the lightIndices
+                # loop body ``break``s after the first iteration — exactly
+                # one unscaled directional sample, no shadow ray.
                 w_i = -normalize(np.array(cfg.dir_light_direction, F))
-                L = len(scene.light_indices) + 1
-                diffuse = diffuse + F(L) * hit.base_color * (
+                diffuse = diffuse + hit.base_color * (
                     dot(hit.normal, w_i)
                     * np.array(cfg.dir_light_intensity, F)
                     / PIF
@@ -526,8 +528,13 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
                 tmp = HitRec()
                 if not intersect_scene(scene, sray, tmp, cfg):
                     diffuse = diffuse + hit.base_color * dot(hit.normal, w_i) * l_i / PIF
-        if cfg.ambient == "mix":
-            ambient = hit.base_color
+        if cfg.ambient in ("mix", "mix_ka"):
+            # "mix_ka": w6e1.wgsl:295-297 mixes in Ka (material.ambient,
+            # carried as hit.emission for mesh hits) instead of base color.
+            if cfg.ambient == "mix_ka" and hit.is_mesh:
+                ambient = hit.emission
+            else:
+                ambient = hit.base_color
             if cfg.shadows and blocked:
                 return (ambient * F(0.1)).astype(F)
             return (F(0.9) * diffuse + F(0.1) * ambient).astype(F)

@@ -567,17 +567,13 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
                 * ((1.0 - hit.specular) / PI)[..., None]
             )
         elif kind == "directional_n":
-            # w6e1/project lambertian (project.wgsl:283-297): a loop over
-            # lightIndices with a *directional* sampler — i.e. the single
-            # directional contribution scaled by the light count. The
-            # reference buffer carries a u32::MAX sentinel in slot 0
-            # (storage_mesh.rs:330-332) and the loop starts at 0, so the
-            # scale is (number of emissive triangles) + 1.
-            L = 1
-            if scene.light_indices is not None:
-                L = int(scene.light_indices.shape[0]) + 1
+            # w6e1/project lambertian (project.wgsl:286-293): a loop over
+            # lightIndices with a *directional* sampler, but the body ends in
+            # ``break`` — exactly ONE unscaled directional sample (the
+            # sentinel in slot 0, storage_mesh.rs:330-332, guarantees the
+            # loop runs at least once). No shadow ray (``blocked = false``).
             l_i, w_i, _ = _sample_directional(cfg, n_lanes)
-            diffuse = diffuse + jnp.float32(L) * albedo * (
+            diffuse = diffuse + albedo * (
                 vec.dot(nrm, w_i)[..., None] * l_i / PI
             )
         elif kind == "area_all":
@@ -598,8 +594,15 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
                 blocked = trace_occluded(scene, cfg, sray)
                 contrib = albedo * vec.dot(nrm, w_i)[..., None] * l_i / PI
                 diffuse = diffuse + vec.where(~blocked, contrib, 0.0)
-    if cfg.ambient == "mix":
-        ambient = albedo
+    if cfg.ambient in ("mix", "mix_ka"):
+        # "mix": ambient = base color (w2e1.wgsl:316, w5e2.wgsl:352).
+        # "mix_ka": w6e1.wgsl:295-297 fetches the MTL material and mixes in
+        # Ka (material.ambient) instead — carried here as hit.emission for
+        # mesh hits; analytic hits keep the base color.
+        if cfg.ambient == "mix_ka":
+            ambient = vec.where(hit.is_mesh, hit.emission, albedo)
+        else:
+            ambient = albedo
         lit = 0.9 * diffuse + 0.1 * ambient
         shadowed = ambient * 0.1
         if cfg.shadows and any_point_light:

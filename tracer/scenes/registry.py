@@ -191,7 +191,7 @@ def get_scenes() -> list[SceneDescriptor]:
     ):
         add(_mk(nm, "w6e1.wgsl", cam, res,
                 cfg_kw=dict(_MESH_DIRECT, lights=("directional_n",),
-                            ambient="mix", mesh_shader=FROM_SELECTION1,
+                            ambient="mix_ka", mesh_shader=FROM_SELECTION1,
                             shadows=False, traversal="bsp"),
                 model=f"{REF_RES}/models/{model}"))
     add(_mk("W6 E2 Cornell Box", "w6e2.wgsl", CORNELL_CAM, (512, 512),
