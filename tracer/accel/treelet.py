@@ -1,0 +1,200 @@
+"""Treelet-cut BVH — the packet-traversal acceleration structure.
+
+TPU rationale: per-ray BVH walks are gather-bound (one random row fetch per
+lane per step) and stack-bound (per-lane scatters) — the two operations the
+TPU is worst at. This structure splits the tree at a *treelet cut* so both
+disappear:
+
+* **Top tree** (above the cut): an 8-ary collapse of the binary LBVH, small
+  enough to live in VMEM (~tens of KB for an 870k-triangle mesh at T=32).
+  It is traversed once per *tile of rays* (not per ray), so node fetches are
+  per-tile scalar rows and the 8-wide slab tests are dense (8, TILE) VPU ops.
+* **Treelet blocks** (below the cut): each treelet packs <= T triangles into
+  one dense (T, 16) f32 block laid out for lane-broadcast math — the whole
+  ray-tile is tested against the whole block as a single (T, TILE) dense op,
+  streamed from HBM by a double-buffered DMA in the Pallas hits kernel
+  (tracer.kernels.treelet_hits).
+
+The reference's analogous component is the flattened binary ``GpuNode`` BVH
+walked per GPU thread with a private stack
+(``/root/reference/src/data_structures/hlbvh.rs:195-234``,
+``res/shaders/bvh.wgsl:154-191``); treelet cut + tile packets is its
+TPU-native redesign (the GPU hides gather latency with warp parallelism; the
+TPU instead amortizes one traversal over a coherent pixel tile).
+
+Block layout is **feature-major** (16 feature rows on the sublane axis, T=128
+triangles on the lane axis) so every HBM/VMEM buffer is natively
+(1,128)-lane-tiled — no padded relayout copies at the Pallas boundary:
+  row 0:3   v0            row 9     prim id (exact float, ids < 2^24)
+  row 3:6   e0 = v1 - v0  row 10    valid (1.0 / 0.0)
+  row 6:9   e1 = v2 - v0  row 11:14 geometric normal n = cross(e0, e1)
+                          row 14    k = dot(v0, n)   row 15 pad
+
+Top-tree row layout (R, 8 children, 8 fields):
+  [0:3] child AABB lo   [3:6] child AABB hi
+  [6]   ref (i32 bitcast): >= 0 child row id; -1 empty; <= -2 treelet id
+        encoded as -(tid + 2)
+  [7]   pad
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import jax.numpy as jnp
+
+from tracer.accel.lbvh import BvhBuffers
+from tracer.accel.wide import _subtree_prims
+from tracer.util import pytree_dataclass
+
+_INF = np.float32(3.0e38)
+BLOCK_COLS = 16
+
+
+@pytree_dataclass(static=("depth", "T"))
+class TreeletBvh:
+    top: jnp.ndarray  # (R, 8, 8) f32
+    blocks: jnp.ndarray  # (NT, 16, T) f32, feature-major
+    depth: int  # max top-tree descent depth (stack bound)
+    T: int  # triangles per block
+
+
+def build(
+    bvh: BvhBuffers, vertices: np.ndarray, indices: np.ndarray, T: int = 128
+) -> TreeletBvh:
+    """Cut the binary LBVH into <=T-triangle treelets and an 8-ary top tree.
+
+    Fully vectorized block packing (the subtree ranges of a Karras radix
+    tree are contiguous in sorted-primitive order, so every treelet is a
+    slice of ``prim_ids``); the top-tree collapse is a small host loop over
+    ~NT/7 rows.
+    """
+    verts = np.asarray(vertices, np.float32)
+    idx = np.asarray(indices, np.int64)
+    prim_ids = bvh.prim_ids.astype(np.int64)
+    n = bvh.left.shape[0]
+    count = bvh.count
+    left = bvh.left.astype(np.int64)
+    right = bvh.right.astype(np.int64)
+    sub_first, sub_count = _subtree_prims(bvh)
+
+    # --- Treelet cut: maximal subtrees with <= T primitives.
+    internal = count == 0
+    parent = np.full(n, -1, np.int64)
+    ii = np.nonzero(internal)[0]
+    parent[left[ii]] = ii
+    parent[right[ii]] = ii
+    small = sub_count <= T
+    parent_small = np.zeros(n, bool)
+    has_p = parent >= 0
+    parent_small[has_p] = small[parent[has_p]]
+    is_cut = small & ~parent_small
+    cut_nodes = np.nonzero(is_cut)[0]
+    order = np.argsort(sub_first[cut_nodes], kind="stable")
+    cut_nodes = cut_nodes[order]  # DFS (sorted-prim) order
+    NT = cut_nodes.shape[0]
+    firsts = sub_first[cut_nodes].astype(np.int64)
+    counts = sub_count[cut_nodes].astype(np.int64)
+    tid_of = np.full(n, -1, np.int64)
+    tid_of[cut_nodes] = np.arange(NT)
+
+    # --- Pack treelet blocks (vectorized).
+    slot = np.arange(T)
+    mat = firsts[:, None] + slot[None, :]  # (NT, T) indices into prim_ids
+    valid = slot[None, :] < counts[:, None]
+    pids = np.where(valid, prim_ids[np.clip(mat, 0, prim_ids.shape[0] - 1)], 0)
+    tri = idx[pids]  # (NT, T, 3)
+    v = verts[tri.reshape(-1)].reshape(NT, T, 3, 3)
+    v0 = v[:, :, 0]
+    e0 = v[:, :, 1] - v0
+    e1 = v[:, :, 2] - v0
+    nrm = np.cross(e0, e1)
+    kpl = np.sum(v0 * nrm, axis=-1)
+    blocks = np.zeros((NT, BLOCK_COLS, T), np.float32)
+    blocks[:, 0:3] = v0.transpose(0, 2, 1)
+    blocks[:, 3:6] = e0.transpose(0, 2, 1)
+    blocks[:, 6:9] = e1.transpose(0, 2, 1)
+    blocks[:, 9] = np.where(valid, pids, -1).astype(np.float32)
+    blocks[:, 10] = valid.astype(np.float32)
+    blocks[:, 11:14] = nrm.transpose(0, 2, 1)
+    blocks[:, 14] = kpl
+
+    # --- Top tree: 8-ary collapse of everything above the cut.
+    rows_box: list[np.ndarray] = []
+    rows_ref: list[np.ndarray] = []
+    max_depth = 1
+
+    if is_cut[0]:
+        # Whole mesh fits one treelet: a single row pointing at it.
+        box = np.full((8, 6), 0.0, np.float32)
+        box[:, 0:3] = _INF
+        box[:, 3:6] = -_INF
+        box[0, 0:3] = bvh.node_min[0]
+        box[0, 3:6] = bvh.node_max[0]
+        refs = np.full(8, -1, np.int32)
+        refs[0] = -2
+        rows_box.append(box)
+        rows_ref.append(refs)
+    else:
+        pending: deque = deque()
+        pending.append((0, 1))  # (binary node, depth); row id == pop order
+        next_row = 1
+        while pending:
+            node, dep = pending.popleft()
+            max_depth = max(max_depth, dep)
+            slots = [int(node)]
+            while len(slots) < 8:
+                cand = [s for s in slots if not is_cut[s]]
+                if not cand:
+                    break
+                s = max(cand, key=lambda x: sub_count[x])
+                slots.remove(s)
+                slots.extend((int(left[s]), int(right[s])))
+            box = np.zeros((8, 6), np.float32)
+            box[:, 0:3] = _INF
+            box[:, 3:6] = -_INF
+            refs = np.full(8, -1, np.int32)
+            for ci, s in enumerate(slots):
+                box[ci, 0:3] = bvh.node_min[s]
+                box[ci, 3:6] = bvh.node_max[s]
+                if is_cut[s]:
+                    refs[ci] = np.int32(-2 - tid_of[s])
+                else:
+                    refs[ci] = next_row
+                    pending.append((s, dep + 1))
+                    next_row += 1
+            rows_box.append(box)
+            rows_ref.append(refs)
+
+    R = len(rows_box)
+    top = np.zeros((R, 8, 8), np.float32)
+    top[:, :, 0:6] = np.stack(rows_box)
+    top[:, :, 6] = np.stack(rows_ref).view(np.float32)
+    return TreeletBvh(
+        top=jnp.asarray(top),
+        blocks=jnp.asarray(blocks),
+        depth=int(max_depth),
+        T=T,
+    )
+
+
+def validate(tb_top: np.ndarray, tb_blocks: np.ndarray, num_prims: int):
+    """Builder invariants (reference test analog, ``bsp_tree.rs:357-420``):
+    every primitive id appears exactly once across blocks; top refs and
+    child boxes well-formed."""
+    pid = tb_blocks[:, 9, :].astype(np.int64)
+    valid = tb_blocks[:, 10, :] > 0.5
+    covered = np.zeros(num_prims, np.int64)
+    np.add.at(covered, pid[valid], 1)
+    assert (covered == 1).all(), "every primitive in exactly one treelet"
+    refs = tb_top[:, :, 6].view(np.int32)
+    R = tb_top.shape[0]
+    NT = tb_blocks.shape[0]
+    inner = refs >= 0
+    tre = refs <= -2
+    assert (refs[inner] < R).all()
+    assert ((-2 - refs[tre]) < NT).all()
+    # Each row / treelet referenced at most once; all reachable from row 0.
+    assert np.bincount(refs[inner], minlength=R)[1:].max(initial=0) <= 1
+    assert np.bincount(-2 - refs[tre], minlength=NT).max() == 1
