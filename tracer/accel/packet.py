@@ -39,7 +39,7 @@ TILE_H = 8
 TILE_W = 16  # 16x8 pixel packets: TILE = 128 = one full VPU lane dim
 TILE = TILE_H * TILE_W
 K_EMIT = 64  # per-round treelet emission capacity per tile
-CHUNK_TILES = 256  # lockstep tile-chunk (phase A retires chunks independently)
+CHUNK_TILES = 4096  # lockstep tile-chunk (phase A retires chunks independently)
 MAX_ROUNDS = 256
 
 
@@ -328,7 +328,9 @@ def _dispatch_hits(tb, eids, enear, en, o, d, tmin, best_t, best_pid, any_hit):
     from tracer.kernels import treelet_hits as tk
 
     if tk.use_pallas():
-        return tk.hits(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit)
+        return tk.hits(
+            tb, eids, en, o, d, tmin, best_t, best_pid, any_hit, enear=enear
+        )
     return _phase_b_xla(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit)
 
 
@@ -391,7 +393,8 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool):
         bt2, bp2 = _dispatch_hits(
             tb,
             flat(eids),
-            flat(enear),
+            None,  # walk emissions are only approximately near-ordered:
+            # the kernel's monotone early-break would be unsound here
             flat(en),
             flat(och),
             flat(dch),

@@ -56,6 +56,8 @@ BLOCK_COLS = 16
 class TreeletBvh:
     top: jnp.ndarray  # (R, 8, 8) f32
     blocks: jnp.ndarray  # (NT, 16, T) f32, feature-major
+    t_lo: jnp.ndarray  # (NT, 3) f32 treelet root AABB lo (flat phase A)
+    t_hi: jnp.ndarray  # (NT, 3) f32 treelet root AABB hi
     depth: int  # max top-tree descent depth (stack bound)
     T: int  # triangles per block
 
@@ -78,6 +80,13 @@ def build(
     left = bvh.left.astype(np.int64)
     right = bvh.right.astype(np.int64)
     sub_first, sub_count = _subtree_prims(bvh)
+    # A leaf with count > T would not be "small": the collapse below would
+    # try to expand it through left/right == -1 and silently wrap-index the
+    # last node (advisor finding). The LBVH always splits down to
+    # max_prims <= 4 << T, so this is a build invariant, not a limitation.
+    assert int(count.max(initial=0)) <= T, (
+        f"LBVH leaf with {int(count.max())} prims exceeds treelet size {T}"
+    )
 
     # --- Treelet cut: maximal subtrees with <= T primitives.
     internal = count == 0
@@ -174,6 +183,8 @@ def build(
     return TreeletBvh(
         top=jnp.asarray(top),
         blocks=jnp.asarray(blocks),
+        t_lo=jnp.asarray(bvh.node_min[cut_nodes], jnp.float32),
+        t_hi=jnp.asarray(bvh.node_max[cut_nodes], jnp.float32),
         depth=int(max_depth),
         T=T,
     )

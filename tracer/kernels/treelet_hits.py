@@ -85,6 +85,7 @@ def _moller_tile(blk, rt, upper):
 def _kernel(
     ids_ref,
     en_ref,
+    enear_ref,
     blocks_hbm,
     rays_ref,
     best_ref,
@@ -95,24 +96,34 @@ def _kernel(
     K: int,
     any_hit: bool,
 ):
-    i = pl.program_id(0)
-    n = en_ref[i]
-    base = i * K
+    n = en_ref[0, 0, 0]
     rt = jnp.transpose(rays_ref[0])  # (8, TILE) -> (TILE, 8), once per tile
     bt0 = jnp.transpose(best_ref[0, 0:1, :])  # (TILE, 1)
     bp0 = jnp.transpose(best_ref[0, 1:2, :])
+    if any_hit:
+        # Occluded lanes stop participating: an upper bound of -INF fails
+        # every t-window test and drops out of the max-based break bound.
+        bt0 = jnp.where(bp0 > 0.0, -_INF, bt0)
 
     def dma(slot, k):
         return pltpu.make_async_copy(
-            blocks_hbm.at[ids_ref[base + k]], scratch.at[slot], sems.at[slot]
+            blocks_hbm.at[ids_ref[0, 0, k]], scratch.at[slot], sems.at[slot]
         )
 
     @pl.when(n > 0)
     def _():
         dma(0, 0).start()
 
-    def body(k, carry):
-        bt, bp = carry
+    # Emissions arrive near-ordered, so once every live lane's best-t (or,
+    # for any-hit, every unoccluded lane's window top) is closer than the
+    # next block's conservative entry distance, no later block can matter:
+    # break, saving both the tests and the remaining DMAs.
+    def cond(carry):
+        k, bt, bp, ub = carry
+        return (k < n) & (enear_ref[0, 0, k] < ub)
+
+    def body(carry):
+        k, bt, bp, _ub = carry
 
         @pl.when(k + 1 < n)
         def _():
@@ -122,23 +133,38 @@ def _kernel(
         blk = scratch[k % 2]  # (16, T)
         t, pid = _moller_tile(blk, rt, bt)
         if any_hit:
-            bp = jnp.where(t < _INF, 1.0, bp)
+            hitk = t < _INF
+            bp = jnp.where(hitk, 1.0, bp)
+            bt = jnp.where(hitk, -_INF, bt)
         else:
             better = t < bt
             bt = jnp.where(better, t, bt)
             bp = jnp.where(better, pid, bp)
-        return bt, bp
+        return k + 1, bt, bp, jnp.max(bt)
 
-    bt, bp = jax.lax.fori_loop(0, n, body, (bt0, bp0))
+    k, bt, bp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), bt0, bp0, _INF)
+    )
+    # A broken-out-of loop may have started the next block's DMA; retire it
+    # so the semaphore is clean for the next grid step.
+    @pl.when(k < n)
+    def _():
+        dma(k % 2, k).wait()
+
+    if any_hit:
+        bt = jnp.transpose(best_ref[0, 0:1, :])  # window top unchanged
     out_ref[0, 0:1, :] = jnp.transpose(bt)
     out_ref[0, 1:2, :] = jnp.transpose(bp)
 
 
-def hits(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit: bool):
+def hits(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit: bool,
+         enear=None):
     """Consume one round of emissions; returns updated (best_t, best_pid).
 
     best_pid is carried as f32 (prim ids are exact in f32 below 2^24); for
     any-hit it is the blocked flag (1.0 / -1.0 semantics via > 0).
+    ``enear``: per-emission conservative entry distance in near order —
+    enables the in-kernel early break. Pass None to disable (zeros).
     """
     n_tiles, TILE = tmin.shape
     T = tb.T
@@ -150,37 +176,44 @@ def hits(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit: bool):
         axis=1,
     )  # (n_tiles, 8, TILE)
     best = jnp.stack([best_t, best_pid], axis=1)  # (n_tiles, 2, TILE)
-    ids_flat = jnp.clip(eids, 0, NT - 1).reshape(-1)
+    ids2 = jnp.clip(eids, 0, NT - 1).reshape(n_tiles, 1, K)
+    en2 = en.reshape(n_tiles, 1, 1)
+    if enear is None:
+        enear = jnp.zeros((n_tiles, K), jnp.float32)
+    enear2 = enear.reshape(n_tiles, 1, K)
 
+    # Per-tile ids/count ride in small blocked SMEM operands (K words per
+    # grid step) rather than whole-array scalar prefetch, which hits the
+    # 1 MB SMEM ceiling at ~2.9k tiles x K=128.
     out = pl.pallas_call(
         functools.partial(_kernel, K=K, any_hit=any_hit),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),  # blocks stay in HBM
-                pl.BlockSpec(
-                    (1, 8, TILE),
-                    lambda i, ids, en_: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 2, TILE),
-                    lambda i, ids, en_: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 2, TILE),
-                lambda i, ids, en_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, T), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            pl.BlockSpec(
+                (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec(
+                (1, 8, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         out_shape=jax.ShapeDtypeStruct((n_tiles, 2, TILE), jnp.float32),
         interpret=_interpret(),
-    )(ids_flat, en, tb.blocks, rays8, best)
+    )(ids2, en2, enear2, tb.blocks, rays8, best)
     return out[:, 0], out[:, 1]

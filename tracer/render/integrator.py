@@ -245,13 +245,26 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
                 sg(scene.geom.indices),
                 max_leaf=cfg.max_leaf,
             )
-        else:
+        elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
             sg = jax.lax.stop_gradient
             t_m, tri = wide_mod.closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
                 scene.wide,
+            )
+        else:  # "bvh" — treelet traversal (default): dense frustum cull
+            # for coherent direct-mode wavefronts, per-ray packet walk for
+            # path-mode bounces (incoherent tiles defeat interval frustums)
+            from tracer.accel import flat as flat_mod
+            from tracer.accel import packet as packet_mod
+
+            mod = flat_mod if cfg.mode == "direct" else packet_mod
+            sg = jax.lax.stop_gradient
+            t_m, tri = mod.closest_hit(
+                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
+                scene.tb,
+                frame=(cfg.width, cfg.height),
             )
         ok = tri >= 0
         tri_c = jnp.clip(tri, 0, scene.geom.indices.shape[0] - 1)
@@ -362,10 +375,16 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
                 sg(scene.geom.indices),
                 max_leaf=cfg.max_leaf,
             )
-        else:
+        elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
             b = wide_mod.any_hit(srays, scene.wide)
+        else:  # "bvh" — treelet traversal (default; see trace_closest)
+            from tracer.accel import flat as flat_mod
+            from tracer.accel import packet as packet_mod
+
+            mod = flat_mod if cfg.mode == "direct" else packet_mod
+            b = mod.any_hit(srays, scene.tb, frame=(cfg.width, cfg.height))
         blocked = blocked | b
     return blocked
 
@@ -520,9 +539,15 @@ def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
             sg(scene.geom.indices),
             max_leaf=cfg.max_leaf,
         )
-    from tracer.accel import wide as wide_mod
+    if cfg.traversal == "bvh8":
+        from tracer.accel import wide as wide_mod
 
-    return wide_mod.any_hit(srays, scene.wide)
+        return wide_mod.any_hit(srays, scene.wide)
+    from tracer.accel import flat as flat_mod
+    from tracer.accel import packet as packet_mod
+
+    mod = flat_mod if cfg.mode == "direct" else packet_mod
+    return mod.any_hit(srays, scene.tb, frame=(cfg.width, cfg.height))
 
 
 def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):

@@ -146,6 +146,7 @@ class Scene:
     light_indices: Optional[jnp.ndarray]  # (L,) i32 emissive triangle ids
     bvh: Optional[BvhBuffers]
     wide: Optional[object]  # WideBvh — TPU-shaped 8-ary BVH (accel.wide)
+    tb: Optional[object]  # TreeletBvh — packet-traversal structure (accel.treelet)
     bsp: Optional[object]  # BspBuffers (imported lazily to avoid cycles)
     env: Optional[TextureBuf]
     texture: Optional[TextureBuf]  # plane texture (grass.jpg)
@@ -163,6 +164,7 @@ def make_scene(
     light_indices=None,
     bvh: Optional[BvhBuffers] = None,
     wide=None,
+    tb=None,
     bsp=None,
     env: Optional[TextureBuf] = None,
     texture: Optional[TextureBuf] = None,
@@ -179,6 +181,7 @@ def make_scene(
         light_indices=light_indices,
         bvh=bvh,
         wide=wide,
+        tb=tb,
         bsp=bsp,
         env=env,
         texture=texture,

@@ -117,7 +117,7 @@ def build_scene(desc: SceneDescriptor):
             base_color=jnp.asarray(bc, f32),
         )
 
-    geom = materials = light_indices = bvh = wide = bsp = None
+    geom = materials = light_indices = bvh = wide = tb = bsp = None
     if desc.model is not None:
         mesh = _load_mesh_cached(desc.model, desc.model_scale)
         geom, materials, light_indices = upload_mesh(mesh)
@@ -126,6 +126,14 @@ def build_scene(desc: SceneDescriptor):
         if mesh.num_triangles <= 64 and cfg.traversal in ("bvh", "bsp"):
             cfg = dataclasses.replace(cfg, traversal="brute")
         if cfg.traversal == "bvh":
+            # Default BVH path: treelet-cut packet traversal (accel.packet)
+            # — the TPU-native redesign of the reference's per-thread BVH
+            # walk (res/shaders/bvh.wgsl:154-191).
+            from tracer.accel import treelet as treelet_mod
+
+            binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
+            tb = treelet_mod.build(binary, mesh.vertices, mesh.indices)
+        elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
             binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
@@ -168,6 +176,7 @@ def build_scene(desc: SceneDescriptor):
         light_indices=light_indices,
         bvh=bvh,
         wide=wide,
+        tb=tb,
         bsp=bsp,
         env=env,
         texture=texture,
