@@ -24,10 +24,10 @@ K = flat.K_EMIT
 
 def upto(stage):
     def f(rays):
-        o = flat.to_tiles(rays.o, W, H, 1.0e30)
-        d = flat.to_tiles(rays.d, W, H, 1.0)
-        tmin = flat.to_tiles(rays.tmin, W, H, 1.0)
-        tmax = flat.to_tiles(rays.tmax, W, H, 0.0)
+        o = flat.to_supers(rays.o, W, H, 1.0e30)
+        d = flat.to_supers(rays.d, W, H, 1.0)
+        tmin = flat.to_supers(rays.tmin, W, H, 1.0)
+        tmax = flat.to_supers(rays.tmax, W, H, 0.0)
         if stage == "tile": return o, d, tmin, tmax
         bounds = flat._tile_bounds(o, d, tmin, tmax)
         ok, near = flat._frustum_cull(tb, bounds)

@@ -1,26 +1,29 @@
-"""Flat frustum-packet traversal: dense tile-frustum x treelet culling.
+"""Flat frustum traversal: dense super-tile culling + per-sub-tile hits.
 
-The second, fully dense redesign of the reference's per-thread BVH walk
+The fully dense redesign of the reference's per-thread BVH walk
 (``/root/reference/res/shaders/bvh.wgsl:154-191``) for *coherent* ray
-wavefronts (primary rays, shadow rays): where ``tracer.accel.packet`` walks
-the 8-ary top tree per ray tile, this module has **no tree and no walk at
-all** —
+wavefronts (primary rays, shadow rays): there is no tree and no walk.
 
-* each 8x16-pixel ray tile is summarized by an interval bound (origin AABB,
-  per-axis direction interval, t window);
-* one dense (n_tiles, NT) conservative interval slab test culls every
-  treelet against every tile in a single fused VPU pass (~0.1 ms for 2850
-  tiles x 11.5k treelets — cheaper than ten steps of the walk);
-* per tile the surviving treelet ids are compacted to a near-ordered top-K
-  emission list (cumsum + searchsorted + a tiny K-wide sort);
-* the emissions feed the same streaming Pallas hits kernel as the packet
-  path (``tracer.kernels.treelet_hits``), which is per-ray exact — so the
-  conservative cull only ever costs extra block tests, never correctness.
+* The frame is cut into 32x64-pixel **super-tiles** (2048 rays = 16
+  sub-tiles of 8x16). Each super-tile is summarized by an interval bound
+  (origin AABB, per-axis direction interval, t window).
+* One dense (n_super, NT) conservative interval slab test culls every
+  treelet against every super-tile in a single fused VPU pass; the
+  survivors are compacted to a near-ordered top-K emission list with
+  ``jax.lax.top_k``. Super granularity keeps both passes ~an order of
+  magnitude cheaper than per-packet culling.
+* The emissions feed the super-tile Pallas kernel
+  (``tracer.kernels.super_hits``), which recovers sub-tile precision: each
+  streamed block is slab-tested against all 16 sub-tile frustums, each
+  sub-tile keeps its own monotone early-break bound, and the Moller tests
+  are per-ray exact — so the conservative cull costs extra block tests,
+  never correctness.
 
-Tiles whose emission count exceeds K are resumed in id-cursor rounds, so
-arbitrarily incoherent tiles stay correct (they degrade toward brute force
-over blocks — which is why the path-mode integrator keeps the per-ray
-packet walk instead).
+Super-tiles whose emission count exceeds K sweep the remaining blocks in
+id order (rare: silhouette tiles with unbounded frustums), so arbitrarily
+incoherent wavefronts stay correct — they just degrade toward brute force
+over blocks, which is why the path-mode integrator keeps the per-ray
+packet walk (``tracer.accel.packet``) instead.
 """
 
 from __future__ import annotations
@@ -30,42 +33,132 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tracer.accel.packet import (
-    TILE,
-    _linear_tiles,
-    from_tiles,
-    to_tiles,
-)
 from tracer.accel.treelet import TreeletBvh
 from tracer.kernels.intersect import Rays
+from tracer.kernels.super_hits import NSUB, SUB, SUPER
 
 _INF = jnp.float32(3.0e38)
 _BIG = jnp.float32(1.0e18)  # indefinite-interval sentinel (safe in products)
-K_EMIT = 1024
+K_EMIT = 4096
 MAX_ROUNDS = 4096
 
+# Super-tile pixel geometry: 4x4 grid of 8x16 sub-tiles.
+SUP_H, SUP_W = 32, 64
+SUB_H, SUB_W = 8, 16
 
-def _tile_bounds(o, d, tmin, prune):
-    """Conservative per-tile interval summary.
 
-    o, d: (n_tiles, TILE, 3); tmin, prune: (n_tiles, TILE). A lane is alive
-    iff prune > tmin (dead padding rays and already-resolved lanes drop out
-    of the bound). Returns a dict of per-tile interval fields.
-    """
-    alive = prune > tmin  # (n_tiles, TILE)
+def _pads(W: int, H: int):
+    Hp = -(-H // SUP_H) * SUP_H
+    Wp = -(-W // SUP_W) * SUP_W
+    return Hp, Wp
+
+
+def to_supers(x: jnp.ndarray, W: int, H: int, fill):
+    """(H*W, ...) row-major -> (n_super, SUPER, ...); sub-tile-major inside
+    each super-tile. Pure layout ops."""
+    Hp, Wp = _pads(W, H)
+    rest = x.shape[1:]
+    img = x.reshape(H, W, *rest)
+    pad = ((0, Hp - H), (0, Wp - W)) + ((0, 0),) * len(rest)
+    img = jnp.pad(img, pad, constant_values=fill)
+    img = img.reshape(
+        Hp // SUP_H, 4, SUB_H, Wp // SUP_W, 4, SUB_W, *rest
+    )
+    perm = (0, 3, 1, 4, 2, 5) + tuple(range(6, 6 + len(rest)))
+    return img.transpose(perm).reshape(-1, SUPER, *rest)
+
+
+def from_supers(x: jnp.ndarray, W: int, H: int):
+    Hp, Wp = _pads(W, H)
+    rest = x.shape[2:]
+    img = x.reshape(Hp // SUP_H, Wp // SUP_W, 4, 4, SUB_H, SUB_W, *rest)
+    perm = (0, 2, 4, 1, 3, 5) + tuple(range(6, 6 + len(rest)))
+    img = img.transpose(perm).reshape(Hp, Wp, *rest)
+    return img[:H, :W].reshape(H * W, *rest)
+
+
+def _linear_supers(x: jnp.ndarray, fill):
+    """Fallback for non-frame wavefronts: consecutive-lane sub-tiles."""
+    n = x.shape[0]
+    pad = (-n) % SUPER
+    rest = x.shape[1:]
+    x = jnp.concatenate(
+        [x, jnp.full((pad, *rest), fill, x.dtype)]
+    ) if pad else x
+    return x.reshape(-1, SUPER, *rest)
+
+
+def _interval_fields(o, d, tmin, prune):
+    """Interval summary over the last ray axis. o, d: (..., L, 3);
+    tmin, prune: (..., L)."""
+    alive = prune > tmin
     a3 = alive[..., None]
-    o_lo = jnp.min(jnp.where(a3, o, _BIG), axis=1)
-    o_hi = jnp.max(jnp.where(a3, o, -_BIG), axis=1)
-    d_lo = jnp.min(jnp.where(a3, d, _BIG), axis=1)
-    d_hi = jnp.max(jnp.where(a3, d, -_BIG), axis=1)
-    # 1/d interval: monotone within one sign; indefinite when d spans 0.
+    o_lo = jnp.min(jnp.where(a3, o, _BIG), axis=-2)
+    o_hi = jnp.max(jnp.where(a3, o, -_BIG), axis=-2)
+    d_lo = jnp.min(jnp.where(a3, d, _BIG), axis=-2)
+    d_hi = jnp.max(jnp.where(a3, d, -_BIG), axis=-2)
+    tmin_lo = jnp.min(jnp.where(alive, tmin, _BIG), axis=-1)
+    prune_hi = jnp.max(jnp.where(alive, prune, -_BIG), axis=-1)
+    any_alive = jnp.any(alive, axis=-1)
+    return o_lo, o_hi, d_lo, d_hi, tmin_lo, prune_hi, any_alive
+
+
+def interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi):
+    """Conservative [near_lb, far_ub] of a ray-set interval bound vs slabs.
+
+    All args (..., 3), broadcastable. Handles sign-spanning direction
+    intervals without giving up the axis: rays whose d_k crosses 0 still
+    need t >= gap / max|d_k| to reach a slab the origin box is outside of
+    — this is what keeps frame-center tiles (d_x, d_y spanning 0) tightly
+    culled instead of degenerating to an unbounded slab.
+    """
+    a_lo = lo - o_hi
+    a_hi = lo - o_lo
+    b_lo = hi - o_hi
+    b_hi = hi - o_lo
     definite = (d_lo > 0.0) | (d_hi < 0.0)
-    inv_lo = jnp.where(definite, 1.0 / d_hi, -_BIG)
-    inv_hi = jnp.where(definite, 1.0 / d_lo, _BIG)
-    tmin_lo = jnp.min(jnp.where(alive, tmin, _BIG), axis=1)
-    prune_hi = jnp.max(jnp.where(alive, prune, -_BIG), axis=1)
-    any_alive = jnp.any(alive, axis=1)
-    return o_lo, o_hi, inv_lo, inv_hi, tmin_lo, prune_hi, any_alive
+    # Definite sign: 1/d is a proper interval (same sign, no pole).
+    safe_lo = jnp.where(definite, d_lo, 1.0)
+    safe_hi = jnp.where(definite, d_hi, 1.0)
+    inv_lo = 1.0 / safe_hi
+    inv_hi = 1.0 / safe_lo
+    t0_lo, t0_hi = _imul(a_lo, a_hi, inv_lo, inv_hi)
+    t1_lo, t1_hi = _imul(b_lo, b_hi, inv_lo, inv_hi)
+    near_def = jnp.minimum(t0_lo, t1_lo)
+    far_def = jnp.maximum(t0_hi, t1_hi)
+    # Sign-spanning: no exit bound, but a valid entry bound if the origin
+    # box sits outside the slab (gap > 0).
+    gap = jnp.maximum(jnp.maximum(a_lo, -b_hi), 0.0)
+    amax = jnp.maximum(jnp.maximum(-d_lo, d_hi), 1e-30)
+    near_ind = gap / amax
+    near = jnp.max(jnp.where(definite, near_def, near_ind), axis=-1)
+    far = jnp.min(jnp.where(definite, far_def, _BIG), axis=-1)
+    return near, far
+
+
+def sub_bounds(o, d, tmin, prune):
+    """Per-sub-tile packed bounds (n_super, NSUB, 16) for the hits kernel.
+    Rows: [o_lo3, o_hi3, d_lo3, d_hi3, tmin_lo, alive, pad2]."""
+    n_super = o.shape[0]
+    os = o.reshape(n_super, NSUB, SUB, 3)
+    ds = d.reshape(n_super, NSUB, SUB, 3)
+    tm = tmin.reshape(n_super, NSUB, SUB)
+    pr = prune.reshape(n_super, NSUB, SUB)
+    o_lo, o_hi, d_lo, d_hi, tmin_lo, _, any_alive = _interval_fields(
+        os, ds, tm, pr
+    )
+    return jnp.concatenate(
+        [
+            o_lo,
+            o_hi,
+            d_lo,
+            d_hi,
+            tmin_lo[..., None],
+            any_alive[..., None].astype(jnp.float32),
+            jnp.zeros((n_super, NSUB, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
 
 
 def _imul(x_lo, x_hi, y_lo, y_hi):
@@ -80,20 +173,16 @@ def _imul(x_lo, x_hi, y_lo, y_hi):
 
 
 def _frustum_cull(tb: TreeletBvh, bounds):
-    """(n_tiles, NT) conservative hit mask + near lower bound."""
-    o_lo, o_hi, inv_lo, inv_hi, tmin_lo, prune_hi, any_alive = bounds
-    # (lo - o) and (hi - o) intervals, then x inv interval.
-    a_lo = tb.t_lo[None, :, :] - o_hi[:, None, :]
-    a_hi = tb.t_lo[None, :, :] - o_lo[:, None, :]
-    b_lo = tb.t_hi[None, :, :] - o_hi[:, None, :]
-    b_hi = tb.t_hi[None, :, :] - o_lo[:, None, :]
-    il = inv_lo[:, None, :]
-    ih = inv_hi[:, None, :]
-    t0_lo, t0_hi = _imul(a_lo, a_hi, il, ih)
-    t1_lo, t1_hi = _imul(b_lo, b_hi, il, ih)
-    # Per-axis entry lower bound / exit upper bound, conservatively.
-    near = jnp.max(jnp.minimum(t0_lo, t1_lo), axis=-1)  # (n_tiles, NT)
-    far = jnp.min(jnp.maximum(t0_hi, t1_hi), axis=-1)
+    """(n_super, NT) conservative hit mask + near lower bound."""
+    o_lo, o_hi, d_lo, d_hi, tmin_lo, prune_hi, any_alive = bounds
+    near, far = interval_slab(
+        tb.t_lo[None, :, :],
+        tb.t_hi[None, :, :],
+        o_lo[:, None, :],
+        o_hi[:, None, :],
+        d_lo[:, None, :],
+        d_hi[:, None, :],
+    )
     ok = (
         (near <= far)
         & (far >= tmin_lo[:, None])
@@ -103,58 +192,84 @@ def _frustum_cull(tb: TreeletBvh, bounds):
     return ok, jnp.where(ok, jnp.maximum(near, 0.0), _INF)
 
 
-def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int = K_EMIT):
-    from tracer.accel.packet import _dispatch_hits
+def _dispatch(tb, eids, enear, en, sb, o, d, tmin, bt, bp, any_hit):
+    from tracer.kernels import treelet_hits as tk
 
+    if tk.use_pallas():
+        from tracer.kernels.super_hits import hits2
+
+        return hits2(tb, eids, enear, en, sb, o, d, tmin, bt, bp, any_hit)
+    from tracer.accel.packet import _phase_b_xla
+
+    return _phase_b_xla(tb, eids, en, o, d, tmin, bt, bp, any_hit)
+
+
+def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int = K_EMIT):
     n = rays.o.shape[0]
     if frame is not None and frame[0] * frame[1] == n:
         W, H = frame
-        tile = partial(to_tiles, W=W, H=H)
-        untile = partial(from_tiles, W=W, H=H)
+        tile = partial(to_supers, W=W, H=H)
+        untile = partial(from_supers, W=W, H=H)
     else:
-        tile = _linear_tiles
+        tile = _linear_supers
         untile = lambda x: x.reshape(-1)[:n]
 
     o = tile(rays.o, fill=1.0e30)
     d = tile(rays.d, fill=1.0)
     tmin = tile(rays.tmin, fill=1.0)
     tmax = tile(rays.tmax, fill=0.0)
-    n_tiles = o.shape[0]
+    n_super = o.shape[0]
     NT = tb.blocks.shape[0]
     K = min(K, NT)
 
-    # One cull, one top-K near-ordering (XLA's TPU top_k kernel: ~0.05 ms
-    # where a full lax.sort costs 35 ms). Per-round adaptivity is replaced
-    # by the in-kernel early break, which sees every ray's live best-t
-    # block by block.
-    bounds = _tile_bounds(o, d, tmin, tmax)
-    ok, near = _frustum_cull(tb, bounds)
+    sb = sub_bounds(o, d, tmin, tmax)
+    # Super-tile bound = union of its sub-tiles (reduce the packed fields).
+    super_bounds = (
+        jnp.min(sb[:, :, 0:3], axis=1),
+        jnp.max(sb[:, :, 3:6], axis=1),
+        jnp.min(sb[:, :, 6:9], axis=1),
+        jnp.max(sb[:, :, 9:12], axis=1),
+        jnp.min(
+            jnp.where(sb[:, :, 13] > 0.5, sb[:, :, 12], _BIG), axis=1
+        ),
+        jnp.max(
+            jnp.where(
+                tmax.reshape(n_super, -1) > tmin.reshape(n_super, -1),
+                tmax.reshape(n_super, -1),
+                -_BIG,
+            ),
+            axis=1,
+        ),
+        jnp.any(sb[:, :, 13] > 0.5, axis=1),
+    )
+    ok, near = _frustum_cull(tb, super_bounds)
     total = jnp.sum(ok, axis=1, dtype=jnp.int32)
     negnear, ids = jax.lax.top_k(jnp.where(ok, -near, -_INF), K)
     enear = -negnear  # ascending conservative entry distance; INF pad
 
     bt0 = tmax
-    bp0 = jnp.full((n_tiles, TILE), -1.0, jnp.float32)
+    bp0 = jnp.full((n_super, SUPER), -1.0, jnp.float32)
     en1 = jnp.minimum(total, K)
-    bt, bp = _dispatch_hits(tb, ids, enear, en1, o, d, tmin, bt0, bp0, any_hit)
+    bt, bp = _dispatch(tb, ids, enear, en1, sb, o, d, tmin, bt0, bp0, any_hit)
 
-    # Overflow tiles (emissions > K — silhouette tiles whose frustum has no
-    # occlusion bound) sweep the remaining blocks in id order, en-gated so
-    # non-overflowing tiles pay nothing. Conservative superset; no break.
+    # Overflow super-tiles (emissions > K) sweep the remaining blocks in id
+    # order, en-gated so everyone else pays nothing. Conservative superset;
+    # the kernel's per-sub pretest still culls, only the stream break is
+    # disabled (enear = 0).
     overflow = total > K
     if NT > K:
         iota_ids = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32)[None, :], (n_tiles, K)
+            jnp.arange(K, dtype=jnp.int32)[None, :], (n_super, K)
         )
+        zeros = jnp.zeros((n_super, K), jnp.float32)
 
         def round_body(carry):
             r, bt, bp = carry
-            base = (r - 1) * K  # sweep [0, NT): top-K picked by nearness,
-            # so the uncovered masked blocks span the whole id range
+            base = (r - 1) * K  # sweep [0, NT): top-K picked by nearness
             ids_r = jnp.minimum(iota_ids + base, NT - 1)
             en_r = jnp.where(overflow, jnp.clip(NT - base, 0, K), 0)
-            bt, bp = _dispatch_hits(
-                tb, ids_r, None, en_r, o, d, tmin, bt, bp, any_hit
+            bt, bp = _dispatch(
+                tb, ids_r, zeros, en_r, sb, o, d, tmin, bt, bp, any_hit
             )
             return r + 1, bt, bp
 

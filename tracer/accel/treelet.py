@@ -58,6 +58,7 @@ class TreeletBvh:
     blocks: jnp.ndarray  # (NT, 16, T) f32, feature-major
     t_lo: jnp.ndarray  # (NT, 3) f32 treelet root AABB lo (flat phase A)
     t_hi: jnp.ndarray  # (NT, 3) f32 treelet root AABB hi
+    box_table: jnp.ndarray  # (NT, 8) f32 [lo3, hi3, pad2] (super_hits kernel)
     depth: int  # max top-tree descent depth (stack bound)
     T: int  # triangles per block
 
@@ -180,11 +181,15 @@ def build(
     top = np.zeros((R, 8, 8), np.float32)
     top[:, :, 0:6] = np.stack(rows_box)
     top[:, :, 6] = np.stack(rows_ref).view(np.float32)
+    box_table = np.zeros((NT, 8), np.float32)
+    box_table[:, 0:3] = bvh.node_min[cut_nodes]
+    box_table[:, 3:6] = bvh.node_max[cut_nodes]
     return TreeletBvh(
         top=jnp.asarray(top),
         blocks=jnp.asarray(blocks),
         t_lo=jnp.asarray(bvh.node_min[cut_nodes], jnp.float32),
         t_hi=jnp.asarray(bvh.node_max[cut_nodes], jnp.float32),
+        box_table=jnp.asarray(box_table),
         depth=int(max_depth),
         T=T,
     )
