@@ -64,7 +64,7 @@ class TreeletBvh:
 
 
 def build(
-    bvh: BvhBuffers, vertices: np.ndarray, indices: np.ndarray, T: int = 128
+    bvh: BvhBuffers, vertices: np.ndarray, indices: np.ndarray, T: int = 1024
 ) -> TreeletBvh:
     """Cut the binary LBVH into <=T-triangle treelets and an 8-ary top tree.
 
@@ -129,6 +129,11 @@ def build(
     blocks[:, 10] = valid.astype(np.float32)
     blocks[:, 11:14] = nrm.transpose(0, 2, 1)
     blocks[:, 14] = kpl
+    # Row 15 (pad): treelet AABB in cols 0..5 — the super_hits kernel
+    # pretests each streamed block against its sub-tile frustums straight
+    # from the DMA'd block, no side table.
+    blocks[:, 15, 0:3] = bvh.node_min[cut_nodes]
+    blocks[:, 15, 3:6] = bvh.node_max[cut_nodes]
 
     # --- Top tree: 8-ary collapse of everything above the cut.
     rows_box: list[np.ndarray] = []

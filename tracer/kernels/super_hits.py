@@ -138,9 +138,13 @@ def _kernel(
             blocks_hbm.at[ids_ref[0, 0, k]], blk_s.at[slot], sems.at[slot]
         )
 
-    @pl.when(n > 0)
-    def _():
-        dma(0, 0).start()
+    NBUF = 4  # DMA pipeline depth
+
+    for w in range(NBUF - 1):
+
+        @pl.when(w < n)
+        def _(w=w):
+            dma(w, w).start()
 
     def cond(carry):
         k, gub = carry
@@ -149,18 +153,22 @@ def _kernel(
     def body(carry):
         k, _gub = carry
 
-        @pl.when(k + 1 < n)
+        @pl.when(k + NBUF - 1 < n)
         def _():
-            dma((k + 1) % 2, k + 1).start()
+            dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
 
-        dma(k % 2, k).wait()
-        blk = blk_s[k % 2]  # (16, T)
+        dma(k % NBUF, k).wait()
+        blk = blk_s[k % NBUF]  # (16, T)
         box = boxes_ref[pl.ds(ids_ref[0, 0, k], 1), :]  # (1, 8)
-        gate = _pretest(sb, box, ub_s[:, :])  # (NSUB, 1)
+        gate = _pretest(sb, box, ub_s[:, :])  # (NSUB, 1) 1/0 f32
+        # One vector->scalar transfer instead of NSUB: pack the gates into
+        # a bitmask and test bits on the scalar unit.
+        powers = jax.lax.broadcasted_iota(jnp.int32, (NSUB, 1), 0)
+        gmask = jnp.sum((gate > 0.0).astype(jnp.int32) << powers)
 
         for s in range(NSUB):
 
-            @pl.when(gate[s, 0] > 0.0)
+            @pl.when((gmask >> s) & 1 != 0)
             def _(s=s):
                 rt = rt_s[s * SUB : (s + 1) * SUB, :]
                 bt = bt_s[s * SUB : (s + 1) * SUB, :]
@@ -182,9 +190,12 @@ def _kernel(
 
     k, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), _INF))
 
-    @pl.when(k < n)
-    def _():
-        dma(k % 2, k).wait()
+    # Retire DMAs already in flight past the break point.
+    for w in range(NBUF - 1):
+
+        @pl.when(k + w < n)
+        def _(w=w):
+            dma((k + w) % NBUF, k + w).wait()
 
     bt = bt_s[:, :]
     if any_hit:
@@ -249,8 +260,8 @@ def hits2(tb, eids, enear, en, sub_bounds, o, d, tmin, best_t, best_pid,
             pltpu.VMEM((SUPER, 1), jnp.float32),  # best t
             pltpu.VMEM((SUPER, 1), jnp.float32),  # best pid
             pltpu.VMEM((NSUB, 1), jnp.float32),  # per-sub break bound
-            pltpu.VMEM((2, 16, T), jnp.float32),  # double-buffered block
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 16, T), jnp.float32),  # pipelined blocks
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_super, 2, SUPER), jnp.float32),
         interpret=_interpret(),
