@@ -41,6 +41,11 @@ class GeometryBuffers:
     normals: jnp.ndarray  # (V, 3) f32
     indices: jnp.ndarray  # (T, 3) i32
     mat_ids: jnp.ndarray  # (T,) i32
+    # Per-triangle attribute rows for the non-differentiable render path:
+    # [0:3] v0 [3:6] v1 [6:9] v2 [9:12] n0 [12:15] n1 [15:18] n2
+    # [18] mat id (exact f32) [19:20] pad. One row gather replaces seven
+    # scattered per-vertex gathers, which XLA fuses badly on TPU.
+    tri_table: jnp.ndarray  # (T, 20) f32
 
 
 @pytree_dataclass
@@ -123,14 +128,24 @@ def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.nda
     ``u32::MAX`` sentinel prepend (``storage_mesh.rs:330-332``) is dropped;
     the light list holds exactly the emissive-triangle ids.
     """
+    idx64 = mesh.indices.astype(np.int64)
+    mat64 = np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(
+        np.int64
+    )
+    verts = np.asarray(mesh.vertices, np.float32)
+    norms = np.asarray(mesh.normals, np.float32)
+    ntri = idx64.shape[0]
+    tri_table = np.zeros((ntri, 20), np.float32)
+    for c in range(3):
+        tri_table[:, 3 * c : 3 * c + 3] = verts[idx64[:, c]]
+        tri_table[:, 9 + 3 * c : 12 + 3 * c] = norms[idx64[:, c]]
+    tri_table[:, 18] = mat64
     geom = GeometryBuffers(
-        vertices=jnp.asarray(mesh.vertices, jnp.float32),
-        normals=jnp.asarray(mesh.normals, jnp.float32),
-        indices=jnp.asarray(mesh.indices.astype(np.int64), jnp.int32),
-        mat_ids=jnp.asarray(
-            np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(np.int64),
-            jnp.int32,
-        ),
+        vertices=jnp.asarray(verts),
+        normals=jnp.asarray(norms),
+        indices=jnp.asarray(idx64, jnp.int32),
+        mat_ids=jnp.asarray(mat64, jnp.int32),
+        tri_table=jnp.asarray(tri_table),
     )
     mats = mesh.materials
     table = MaterialTable(

@@ -268,10 +268,29 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             )
         ok = tri >= 0
         tri_c = jnp.clip(tri, 0, scene.geom.indices.shape[0] - 1)
-        idx = scene.geom.indices[tri_c]
-        v0 = scene.geom.vertices[idx[:, 0]]
-        v1 = scene.geom.vertices[idx[:, 1]]
-        v2 = scene.geom.vertices[idx[:, 2]]
+        if cfg.loop == "while":
+            # Fast path (not reverse-differentiable anyway): one row gather
+            # from the precomputed per-triangle table — XLA fuses the seven
+            # scattered per-vertex gathers badly (~20 ms/frame on dragon).
+            row = scene.geom.tri_table[tri_c]
+            v0 = row[:, 0:3]
+            v1 = row[:, 3:6]
+            v2 = row[:, 6:9]
+            n0 = row[:, 9:12]
+            n1 = row[:, 12:15]
+            n2 = row[:, 15:18]
+            mat = row[:, 18].astype(jnp.int32)
+        else:
+            # Differentiable path: gather vertices so gradients reach
+            # scene.geom.vertices / normals.
+            idx = scene.geom.indices[tri_c]
+            v0 = scene.geom.vertices[idx[:, 0]]
+            v1 = scene.geom.vertices[idx[:, 1]]
+            v2 = scene.geom.vertices[idx[:, 2]]
+            n0 = scene.geom.normals[idx[:, 0]]
+            n1 = scene.geom.normals[idx[:, 1]]
+            n2 = scene.geom.normals[idx[:, 2]]
+            mat = scene.geom.mat_ids[tri_c]
         # Differentiable re-derivation of t/beta/gamma from the winning id.
         t_d, beta, gamma, _ = intersect.triangle_t(
             Rays(rays.o, rays.d, jnp.zeros_like(rays.tmin), rays.tmax),
@@ -282,9 +301,6 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
         pos = rays.o + t_d[:, None] * rays.d
         face_n = vec.cross(v1 - v0, v2 - v0)
         if cfg.use_vertex_normals:
-            n0 = scene.geom.normals[idx[:, 0]]
-            n1 = scene.geom.normals[idx[:, 1]]
-            n2 = scene.geom.normals[idx[:, 2]]
             sn = (
                 n0 * (1.0 - beta - gamma)[:, None]
                 + n1 * beta[:, None]
@@ -299,7 +315,6 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
         else:
             sn = face_n
         nrm = vec.normalize(sn, eps=1e-24)
-        mat = scene.geom.mat_ids[tri_c]
         shader = jnp.broadcast_to(
             _resolve_shader(jnp.int32(cfg.mesh_shader), uniforms), (n,)
         ).astype(jnp.int32)
