@@ -97,3 +97,158 @@ def test_anyhit_respects_tmax(cornell_mesh):
     rays_long = make_rays(o, d, tmin=1e-4, tmax=5000.0)
     assert not bool(traverse.bvh_any_hit(rays_short, bvh, V, I)[0])
     assert bool(traverse.bvh_any_hit(rays_long, bvh, V, I)[0])
+
+
+# ---------------------------------------------------------------------------
+# Treelet / packet / flat traversal parity (the production 'bvh' paths).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def blob_tb():
+    """~1.1k-triangle procedural mesh + treelet BVH with small T to force
+    multi-block coverage (advisor finding: the packet subsystem had no
+    pytest coverage)."""
+    from tracer.accel import treelet
+    from tracer.geometry.procedural import bumpy_blob
+
+    mesh = bumpy_blob(24, 24, 1.0, (0.0, 0.0, 0.0))
+    binary = lbvh.build(*mesh.bboxes(), max_prims=4)
+    tb = treelet.build(binary, mesh.vertices, mesh.indices, T=32)
+    treelet.validate(
+        np.asarray(tb.top), np.asarray(tb.blocks), mesh.num_triangles
+    )
+    return mesh, tb
+
+
+def _mixed_rays(mesh, n=1024, seed=0, tmax=None):
+    """Half coherent (shared-origin pinhole cone), half incoherent."""
+    rs = np.random.RandomState(seed)
+    o1 = np.tile(np.array([[3.0, 0.2, 0.1]], np.float32), (n // 2, 1))
+    tgt = rs.randn(n // 2, 3).astype(np.float32) * 0.4
+    d1 = tgt - o1
+    o2 = rs.randn(n // 2, 3).astype(np.float32) * 3.0
+    d2 = rs.randn(n // 2, 3).astype(np.float32)
+    o = np.concatenate([o1, o2])
+    d = np.concatenate([d1, d2])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    kw = {} if tmax is None else {"tmax": tmax}
+    return make_rays(jnp.asarray(o), jnp.asarray(d), **kw)
+
+
+@pytest.mark.parametrize("mod_name", ["packet", "flat"])
+def test_treelet_closest_matches_brute(blob_tb, mod_name):
+    import importlib
+
+    mesh, tb = blob_tb
+    mod = importlib.import_module(f"tracer.accel.{mod_name}")
+    rays = _mixed_rays(mesh)
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    t, pid = mod.closest_hit(rays, tb)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(pid))
+    hit = np.asarray(id_ref) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t)[hit], np.asarray(t_ref)[hit], rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("mod_name", ["packet", "flat"])
+def test_treelet_anyhit_matches_brute(blob_tb, mod_name):
+    import importlib
+
+    mesh, tb = blob_tb
+    mod = importlib.import_module(f"tracer.accel.{mod_name}")
+    # tmax window: occlusion must respect the [tmin, tmax] interval.
+    rays = _mixed_rays(mesh, tmax=4.0)
+    b_ref = mesh_brute_force_anyhit(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    b = mod.any_hit(rays, tb)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b))
+
+
+@pytest.mark.parametrize("mod_name", ["packet", "flat"])
+def test_treelet_frame_tiling(blob_tb, mod_name):
+    """Frame-shaped wavefront exercises the pixel-tile (packet) /
+    super-tile (flat) regrouping incl. edge padding (W, H not multiples
+    of the tile sizes)."""
+    import importlib
+
+    mesh, tb = blob_tb
+    mod = importlib.import_module(f"tracer.accel.{mod_name}")
+    W, H = 41, 29  # deliberately unaligned
+    u = (np.arange(W) + 0.5) / W - 0.5
+    v = 0.5 - (np.arange(H) + 0.5) / H
+    uu, vv = np.meshgrid(u, v)
+    d = np.stack(
+        [uu.ravel(), vv.ravel(), -np.ones(W * H)], -1
+    ).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.tile(np.array([[0.1, 0.0, 3.0]], np.float32), (W * H, 1))
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    t, pid = mod.closest_hit(rays, tb, frame=(W, H))
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(pid))
+
+
+def test_flat_overflow_rounds(blob_tb):
+    """Emission counts above K trigger the id-order sweep rounds."""
+    from tracer.accel import flat
+
+    mesh, tb = blob_tb
+    rays = _mixed_rays(mesh, n=512, seed=3)
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    t, pid = flat._run(rays, tb, None, any_hit=False, K=8)
+    np.testing.assert_array_equal(
+        np.asarray(id_ref), np.asarray(pid.astype(jnp.int32))
+    )
+
+
+def test_packet_multi_round_pause(blob_tb):
+    """Small emission budget forces pause/resume rounds in the packet walk."""
+    import tracer.accel.packet as packet
+
+    mesh, tb = blob_tb
+    rays = _mixed_rays(mesh, n=256, seed=7)
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    orig = packet.K_EMIT
+    try:
+        packet.K_EMIT = 16  # << treelet count: multiple rounds required
+        t, pid = packet.closest_hit(rays, tb)
+    finally:
+        packet.K_EMIT = orig
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(pid))
+
+
+def test_treelet_interpret_pallas_path(blob_tb, monkeypatch):
+    """TRACER_FORCE_PALLAS exercises the Pallas kernels in interpret mode
+    on CPU (the same code path the TPU compiles)."""
+    import importlib
+
+    monkeypatch.setenv("TRACER_FORCE_PALLAS", "1")
+    mesh, tb = blob_tb
+    rays = _mixed_rays(mesh, n=256, seed=5)
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    for mod_name in ("packet", "flat"):
+        mod = importlib.import_module(f"tracer.accel.{mod_name}")
+        t, pid = mod.closest_hit(rays, tb)
+        np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(pid))
+        b = mod.any_hit(
+            make_rays(rays.o, rays.d, tmax=4.0), tb
+        )
+        b_ref = mesh_brute_force_anyhit(
+            make_rays(rays.o, rays.d, tmax=4.0),
+            jnp.asarray(mesh.vertices),
+            jnp.asarray(mesh.indices),
+        )
+        np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b))
