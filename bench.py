@@ -56,6 +56,29 @@ def main():
     rays_per_s = rays * frames / dt
     log(f"{ms_per_frame:.3f} ms/frame, {rays_per_s / 1e6:.1f} Mray/s")
 
+    # Forward+backward throughput (the BASELINE north-star counts fwd+bwd
+    # aggregate): one gradient step of the L2 loss wrt the full scene
+    # pytree. max_depth=2 bounds the scan driver at this scene's true depth
+    # (Lambertian direct: 1 shading bounce + 1 all-dead flush).
+    fwdbwd = None
+    try:
+        from tracer.diff import grad as G
+
+        gcfg = dataclasses.replace(cfg, loop="scan", max_depth=2)
+        target = jax.numpy.zeros((cfg.height * cfg.width, 3))
+        g = G.grad_scene(scene, gcfg, target)
+        jax.block_until_ready(g.camera.eye)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            g = G.grad_scene(scene, gcfg, target)
+        jax.block_until_ready(g.camera.eye)
+        dtg = (time.perf_counter() - t0) / reps
+        fwdbwd = rays * 2 / dtg  # fwd + bwd passes per pixel
+        log(f"grad step: {dtg*1e3:.1f} ms, fwd+bwd {fwdbwd/1e6:.1f} Mray/s")
+    except Exception as e:  # keep the headline metric robust
+        log(f"fwdbwd bench failed: {e!r}")
+
     baseline = 45.0e6  # reference BVH dragon (journal/src/project.md 4.2.2)
     print(
         json.dumps(
@@ -64,6 +87,8 @@ def main():
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / baseline,
+                "fwdbwd_rays_per_second": fwdbwd,
+                "ms_per_frame": ms_per_frame,
             }
         )
     )

@@ -59,3 +59,38 @@ def test_sharded_gradient_psum(mesh):
     gd_m = np.asarray(g_sharded.materials.diffuse)
     assert np.abs(gd_s).sum() > 0  # non-trivial gradient
     assert np.allclose(gd_s, gd_m, atol=1e-5)
+
+
+def test_weak_scaling_harness():
+    """1 -> 2 device weak scaling through the bench_scaling children.
+
+    This host has few cores, so the virtual-device proxy can't meet the
+    real >= 85% ICI target (SCALING.md documents the caveat); assert a
+    generous sanity bound and that the harness machinery works end to end.
+    """
+    import json
+    import os
+    import subprocess
+    import sys
+
+    results = {}
+    for ndev in (1, 2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={ndev}"
+        )
+        env.pop("TRACER_TEST_PLATFORM", None)
+        out = subprocess.run(
+            [sys.executable, "bench_scaling.py", "--child",
+             "--rows-per-device=16", "--width=64", "--samples=2"],
+            env=env, capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        rows = [json.loads(l.split(" ", 1)[1])
+                for l in out.stdout.splitlines()
+                if l.startswith("CHILD_RESULT")]
+        assert rows, out.stderr[-1500:]
+        results[ndev] = rows[0]["ms"]
+    eff = results[1] / results[2]
+    assert eff > 0.35, f"2-device weak-scaling efficiency {eff:.2f}"

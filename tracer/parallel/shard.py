@@ -55,7 +55,11 @@ def shard_state(state: ProgressiveState, mesh: Mesh) -> ProgressiveState:
     accum = jax.device_put(
         accum, NamedSharding(mesh, P(RAY_AXIS, None))
     )
-    return ProgressiveState(accum=accum, iteration=state.iteration)
+    # Commit the iteration counter replicated too: otherwise call 2 of the
+    # step (iteration now a committed device array) retraces with a new
+    # input layout.
+    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
+    return ProgressiveState(accum=accum, iteration=iteration)
 
 
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
@@ -65,7 +69,7 @@ def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
     return jax.tree.map(lambda x: jax.device_put(x, spec), scene)
 
 
-def sharded_step(mesh: Mesh):
+def sharded_step(mesh: Mesh, donate: bool = True):
     """Build the jitted sharded progressive step for ``mesh``.
 
     Uses jit-with-shardings (GSPMD): the wavefront partitions over the ray
@@ -76,7 +80,7 @@ def sharded_step(mesh: Mesh):
     @partial(
         jax.jit,
         static_argnames=("cfg",),
-        donate_argnames=("state",),
+        **({"donate_argnames": ("state",)} if donate else {}),
     )
     def step(scene: Scene, cfg: SceneConfig, state: ProgressiveState):
         scene = replace(
