@@ -252,3 +252,40 @@ def test_treelet_interpret_pallas_path(blob_tb, monkeypatch):
             jnp.asarray(mesh.indices),
         )
         np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Naive agglomerative BVH (validation builder, reference bvh.rs:68-164).
+# ---------------------------------------------------------------------------
+
+
+def test_agglom_invariants_and_parity(test_object_mesh):
+    from tracer.accel import agglom
+
+    mesh = test_object_mesh
+    lo, hi = mesh.bboxes()
+    bvh = agglom.build(lo, hi, max_prims=4)
+    lbvh.validate(bvh, mesh.num_triangles)
+    # Same binary traversal must find the same hits as the LBVH.
+    rays = _rand_rays(mesh, n=256)
+    t_a, id_a = traverse.bvh_closest_hit(
+        rays,
+        jax.tree.map(jnp.asarray, bvh),
+        jnp.asarray(mesh.vertices),
+        jnp.asarray(mesh.indices),
+        max_leaf=4,
+    )
+    t_ref, id_ref = mesh_brute_force(
+        rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    )
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_a))
+
+
+def test_agglom_singleton():
+    from tracer.accel import agglom
+
+    lo = np.zeros((1, 3), np.float32)
+    hi = np.ones((1, 3), np.float32)
+    bvh = agglom.build(lo, hi)
+    assert bvh.count[0] == 1
+    lbvh.validate(bvh, 1)

@@ -46,7 +46,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="0 none, 1 default, 2 bilinear, 3 nearest",
     )
     p.add_argument("--uv-scale", type=float, nargs=2, default=None)
-    p.add_argument("--traversal", choices=["brute", "bvh", "bsp"], default=None)
+    p.add_argument(
+        "--traversal",
+        choices=["brute", "bvh", "bvh2", "bvh8", "bsp"],
+        default=None,
+    )
+    p.add_argument(
+        "--camera-moves", default=None, metavar="KEYS",
+        help="WASD move string applied before rendering, one tick per "
+        "char (the reference's orbit/dolly controller, camera.rs:36-112)",
+    )
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR",
+    )
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--out-pfm", default=None, help="output PFM (linear float)")
     p.add_argument("--out-npz", default=None, help="output NPZ (linear float)")
@@ -108,6 +121,14 @@ def main(argv=None) -> int:
     print(f"[cli] scene '{desc.name}' built in {time.perf_counter()-t0:.2f}s",
           file=sys.stderr)
 
+    if args.camera_moves:
+        from tracer.render.controller import CameraController
+
+        scene = replace(
+            scene,
+            camera=CameraController().run(scene.camera, args.camera_moves),
+        )
+
     u = scene.uniforms
     if args.texture_mode >= 0:
         u = replace(u, use_texture=jnp.asarray(args.texture_mode, jnp.int32))
@@ -120,6 +141,17 @@ def main(argv=None) -> int:
         state = P.load_checkpoint(args.checkpoint, cfg)
         print(f"[cli] resumed at iteration {int(state.iteration)}",
               file=sys.stderr)
+
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        prof_ctx = jax.profiler.trace(args.profile)
+        print(f"[cli] profiling to {args.profile}", file=sys.stderr)
+    else:
+        prof_ctx = contextlib.nullcontext()
+    prof_ctx.__enter__()
 
     stats = RenderStats(print_every=args.stats_every)
     if args.sharded:
@@ -154,6 +186,7 @@ def main(argv=None) -> int:
         lin = np.asarray(st.accum)
         final_iter = int(st.iteration)
 
+    prof_ctx.__exit__(None, None, None)
     print(f"[cli] rendered {final_iter} samples; {stats.summary()}",
           file=sys.stderr)
     if args.checkpoint:

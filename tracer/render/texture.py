@@ -53,20 +53,67 @@ def load_rgbe_png(path: str) -> TextureBuf:
     return TextureBuf(data=jnp.asarray(arr), kind=ENV_RGBE)
 
 
-def load_radiance_hdr(path: str) -> TextureBuf:
-    """Load a Radiance ``.hdr`` file into RGBE form (decoded at sample time)."""
-    import cv2
+def _read_radiance_rgbe(path: str) -> np.ndarray:
+    """Parse a Radiance ``.hdr`` file to raw (H, W, 4) uint8 RGBE.
 
-    rgb = cv2.imread(path, cv2.IMREAD_UNCHANGED)  # BGR float32
-    rgb = np.asarray(rgb, np.float32)[..., ::-1]
-    # Re-encode to RGBE so env sampling shares one decode path.
-    maxc = np.maximum(rgb.max(axis=-1), 1e-32)
-    e = np.ceil(np.log2(maxc)).astype(np.float32)
-    scale = np.exp2(-e)
-    rgba = np.concatenate(
-        [rgb * scale[..., None], ((e + 128.0) / 255.0)[..., None]], axis=-1
-    ).astype(np.float32)
-    return TextureBuf(data=jnp.asarray(rgba), kind=ENV_RGBE)
+    Pure NumPy (no cv2 dependency): handles both adaptive-RLE scanlines
+    (the 0x02 0x02 marker format every modern writer emits) and flat
+    scanlines. The RGBE bytes are exactly what the reference's
+    ``.hdr.png`` stores in its channels (``w9e2.wgsl:242-245``).
+    """
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"#?"):
+            raise ValueError(f"{path}: not a Radiance file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        res = f.readline().split()
+        if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+            raise ValueError(f"{path}: unsupported orientation {res!r}")
+        h, w = int(res[1]), int(res[3])
+        data = np.frombuffer(f.read(), np.uint8)
+
+    out = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (
+            w >= 8
+            and w < 32768
+            and data[pos] == 2
+            and data[pos + 1] == 2
+            and (int(data[pos + 2]) << 8 | int(data[pos + 3])) == w
+        ):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(data[pos])
+                    pos += 1
+                    if n > 128:  # run
+                        out[y, x : x + n - 128, c] = data[pos]
+                        pos += 1
+                        x += n - 128
+                    else:  # literal
+                        out[y, x : x + n, c] = data[pos : pos + n]
+                        pos += n
+                        x += n
+        else:  # flat scanline
+            row = data[pos : pos + 4 * w].reshape(w, 4)
+            out[y] = row
+            pos += 4 * w
+    return out
+
+
+def load_radiance_hdr(path: str) -> TextureBuf:
+    """Load a Radiance ``.hdr`` file into RGBE form (decoded at sample
+    time exactly like the reference's ``.hdr.png``: rgb * 2^(a*255-128),
+    ``w9e2.wgsl:242-245``)."""
+    rgbe = _read_radiance_rgbe(path)
+    return TextureBuf(
+        data=jnp.asarray(rgbe.astype(np.float32) / 255.0), kind=ENV_RGBE
+    )
 
 
 def _decode(texel, kind: int):

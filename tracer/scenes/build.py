@@ -47,6 +47,13 @@ def _load_mesh_cached(path: str, scale: float):
 @lru_cache(maxsize=16)
 def _load_texture_cached(path: str, rgbe: bool):
     if not os.path.exists(path):
+        import sys
+
+        print(
+            f"[build] texture '{path}' missing — scene falls back to the "
+            f"background color (reference lists it in .MISSING_LARGE_BLOBS)",
+            file=sys.stderr,
+        )
         return None
     if path.endswith(".hdr"):
         return tex.load_radiance_hdr(path)
