@@ -339,11 +339,47 @@ def _traverse(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf, any_hit)
     return best_t, best_id
 
 
+CHUNK = 16384  # wavefront chunk: lax.map retires chunks independently, so
+# a chunk's worst lane bounds only its own 16k rays, not the whole frame
+
+
+def _chunked(rays: Rays, fn):
+    n = rays.o.shape[0]
+    if n <= CHUNK:
+        return fn(rays)
+    pad = (-n) % CHUNK
+    c = (n + pad) // CHUNK
+
+    def padded(x, fill):
+        if x.ndim == 1:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(c, CHUNK)
+        x = jnp.concatenate([x, jnp.full((pad, x.shape[1]), fill, x.dtype)])
+        return x.reshape(c, CHUNK, x.shape[1])
+
+    # Padding rays: empty [tmin, tmax) window; the root test fails and the
+    # lane retires on the first step.
+    chunks = Rays(
+        o=padded(rays.o, 1.0e30),
+        d=padded(rays.d, 1.0),
+        tmin=padded(rays.tmin, 1.0),
+        tmax=padded(rays.tmax, 0.0),
+    )
+    out = jax.lax.map(fn, chunks)
+    return jax.tree.map(lambda x: x.reshape(-1)[:n], out)
+
+
 def bsp_closest_hit(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf: int = 8):
     """First-leaf-hit traversal (``intersect_trimesh``)."""
-    return _traverse(rays, bsp, vertices, indices, max_leaf, any_hit=False)
+    return _chunked(
+        rays,
+        lambda r: _traverse(r, bsp, vertices, indices, max_leaf, any_hit=False),
+    )
 
 
 def bsp_any_hit(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf: int = 8):
     """Occlusion traversal (``intersect_trimesh_immediate_return``)."""
-    return _traverse(rays, bsp, vertices, indices, max_leaf, any_hit=True)
+    return _chunked(
+        rays,
+        lambda r: _traverse(r, bsp, vertices, indices, max_leaf, any_hit=True),
+    )

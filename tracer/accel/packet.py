@@ -409,8 +409,15 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool):
 
     carry = round_body((st0, bt0, bp0, jnp.int32(0)))
 
+    # Round bound scaled to the structure: a pathological tile may need to
+    # emit every treelet, i.e. ceil(NT / K_EMIT) rounds (advisor finding:
+    # a fixed 256-round cap could silently drop intersections on large
+    # meshes with small T).
+    NT_ = tb.blocks.shape[0]
+    max_rounds = max(MAX_ROUNDS, -(-NT_ * 2 // K_EMIT) + 8)
+
     def cond(c):
-        return jnp.any(c[0].paused) & (c[3] < MAX_ROUNDS)
+        return jnp.any(c[0].paused) & (c[3] < max_rounds)
 
     st, bt, bp, _ = jax.lax.while_loop(cond, round_body, carry)
 

@@ -48,7 +48,19 @@ def _leaf_hit(rays, best_t, vertices, indices, prim_ids, first, count, max_leaf)
 
 
 def bvh_closest_hit(rays: Rays, bvh: BvhBuffers, vertices, indices, max_leaf: int = 8):
-    """Closest-hit traversal; returns (t, prim_id) with prim_id -1 on miss."""
+    """Closest-hit traversal; returns (t, prim_id) with prim_id -1 on miss.
+
+    Chunked (tracer.accel.bsp._chunked): each 16k-ray chunk runs its own
+    while_loop, so worst-lane convergence is bounded per chunk."""
+    from tracer.accel.bsp import _chunked
+
+    return _chunked(
+        rays,
+        lambda r: _bvh_closest(r, bvh, vertices, indices, max_leaf),
+    )
+
+
+def _bvh_closest(rays: Rays, bvh: BvhBuffers, vertices, indices, max_leaf: int = 8):
     n = rays.o.shape[0]
     inv_d = 1.0 / rays.d
 
@@ -146,7 +158,16 @@ def bvh_any_hit(rays: Rays, bvh: BvhBuffers, vertices, indices, max_leaf: int = 
     The analog of ``intersect_trimesh_immediate_return`` (``bsp.wgsl:83``) —
     lanes that find a hit retire immediately (cur = -1), so the whole
     wavefront exits as soon as every ray is either blocked or exhausted.
-    """
+    Chunked like bvh_closest_hit."""
+    from tracer.accel.bsp import _chunked
+
+    return _chunked(
+        rays,
+        lambda r: _bvh_anyhit(r, bvh, vertices, indices, max_leaf),
+    )
+
+
+def _bvh_anyhit(rays: Rays, bvh: BvhBuffers, vertices, indices, max_leaf: int = 8):
     n = rays.o.shape[0]
     inv_d = 1.0 / rays.d
 
