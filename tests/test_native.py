@@ -58,3 +58,28 @@ def test_native_edge_cases():
     hi = np.ones((100, 3), np.float32)
     b = native.build(lo, hi, 4)
     lbvh.validate(b, 100)
+
+
+def test_native_bsp_matches_numpy(teapot_mesh):
+    """The native C++ BSP builder must produce a bit-identical tree to the
+    NumPy reference implementation (compiled with -ffp-contract=off so no
+    FMA divergence)."""
+    import numpy as np
+
+    from tracer.accel import bsp as B
+    from tracer.accel import native
+
+    if not native.bsp_available():
+        import pytest
+
+        pytest.skip("native BSP unavailable")
+    lo, hi = teapot_mesh.bboxes()
+    a = B.build(lo, hi, max_depth=12, max_objects=4, prefer_native=False)
+    b = B.build(lo, hi, max_depth=12, max_objects=4, prefer_native=True)
+    for f in ("axis", "plane", "left", "right", "first", "count",
+              "prim_ids"):
+        np.testing.assert_array_equal(
+            getattr(a, f), getattr(b, f), err_msg=f
+        )
+    np.testing.assert_array_equal(a.bbox_lo, b.bbox_lo)
+    B.validate(b, teapot_mesh.num_triangles)

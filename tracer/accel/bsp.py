@@ -58,12 +58,36 @@ def build(
     max_depth: int = MAX_DEPTH_DEFAULT,
     max_objects: int = MAX_OBJECTS_DEFAULT,
     timer: StageTimer | None = None,
+    prefer_native: bool = True,
 ) -> BspBuffers:
-    """Build the BSP over primitive AABBs (vectorized across objects at each
-    node; recursion over nodes)."""
+    """Build the BSP over primitive AABBs.
+
+    Prefers the native C++ builder (``native/bsp.cpp``, the analog of the
+    reference's compiled Rust builder); this NumPy implementation is the
+    always-available reference path and produces an identical tree."""
     timer = timer if timer is not None else StageTimer()
     n = prim_lo.shape[0]
     assert 0 < max_depth < 32, "BspTree depth must be in (0, 32)"
+
+    if prefer_native:
+        try:
+            from tracer.accel import native
+
+            if native.bsp_available():
+                f = native.bsp_build(
+                    prim_lo, prim_hi, max_depth, max_objects, timer=timer
+                )
+                counts = f["count"]
+                return BspBuffers(
+                    axis=f["axis"], plane=f["plane"], left=f["left"],
+                    right=f["right"], first=f["first"], count=counts,
+                    prim_ids=f["prim_ids"], bbox_lo=f["bbox_lo"],
+                    bbox_hi=f["bbox_hi"], max_level=max_depth,
+                    max_count=int(counts.max()) if counts.size else 0,
+                )
+        except Exception:
+            pass  # fall back to the NumPy reference implementation
+
     root_lo = prim_lo.min(axis=0)
     root_hi = prim_hi.max(axis=0)
 
