@@ -231,7 +231,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
 
             sg = jax.lax.stop_gradient
             t_m, tri = bsp_mod.bsp_closest_hit(
-                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
+                Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 scene.bsp,
                 sg(scene.geom.vertices),
                 sg(scene.geom.indices),
@@ -239,7 +239,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
         elif cfg.traversal == "bvh2":
             sg = jax.lax.stop_gradient
             t_m, tri = traverse.bvh_closest_hit(
-                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
+                Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 scene.bvh,
                 sg(scene.geom.vertices),
                 sg(scene.geom.indices),
@@ -250,7 +250,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
 
             sg = jax.lax.stop_gradient
             t_m, tri = wide_mod.closest_hit(
-                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
+                Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 scene.wide,
             )
         else:  # "bvh" — treelet traversal (default): dense frustum cull
@@ -262,8 +262,8 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             mod = flat_mod if cfg.mode == "direct" else packet_mod
             sg = jax.lax.stop_gradient
             t_m, tri = mod.closest_hit(
-                Rays(sg(sub.o), sg(sub.d), sub.tmin, sg(sub.tmax)),
-                scene.tb,
+                Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
+                jax.tree.map(sg, scene.tb),  # accel buffers carry no grads
                 frame=(cfg.width, cfg.height),
             )
         ok = tri >= 0
@@ -399,7 +399,10 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
             from tracer.accel import packet as packet_mod
 
             mod = flat_mod if cfg.mode == "direct" else packet_mod
-            b = mod.any_hit(srays, scene.tb, frame=(cfg.width, cfg.height))
+            b = mod.any_hit(
+                srays, jax.tree.map(sg, scene.tb),
+                frame=(cfg.width, cfg.height),
+            )
         blocked = blocked | b
     return blocked
 
@@ -562,7 +565,9 @@ def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
     from tracer.accel import packet as packet_mod
 
     mod = flat_mod if cfg.mode == "direct" else packet_mod
-    return mod.any_hit(srays, scene.tb, frame=(cfg.width, cfg.height))
+    return mod.any_hit(
+        srays, jax.tree.map(sg, scene.tb), frame=(cfg.width, cfg.height)
+    )
 
 
 def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
