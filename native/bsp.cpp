@@ -74,11 +74,13 @@ struct Builder {
       out->prim_ids.insert(out->prim_ids.end(), ids.begin(), ids.end());
       return me;
     }
-    // Float semantics mirror the NumPy reference builder exactly (so both
-    // produce bit-identical trees): the candidate plane is computed in
-    // double (python's k/TESTS is a double), object comparisons promote
-    // the f32 box bound to that double, while the child-box areas see the
-    // plane cast down to f32 (numpy's l_hi[ax] = center assignment).
+    // Float semantics mirror the NumPy builder exactly (so both produce
+    // bit-identical trees): the candidate plane, comparisons, and child
+    // box areas are all computed in float. On the NumPy side this relies
+    // on NEP 50 weak promotion (NumPy >= 2.0): `(bhi-blo) * (k/TESTS)`
+    // keeps float32 because the Python float is a weak scalar. Under
+    // NumPy 1.x the Python side would promote to float64 and the
+    // bit-identical contract (test_native_bsp_matches_numpy) can fail.
     float best_cost = std::numeric_limits<float>::infinity();
     int best_ax = 0;
     float best_center = 0.0f;

@@ -22,6 +22,8 @@ clipping visits leaves front-to-back). The scene-AABB interval clamp
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,8 +87,15 @@ def build(
                     bbox_hi=f["bbox_hi"], max_level=max_depth,
                     max_count=int(counts.max()) if counts.size else 0,
                 )
-        except Exception:
-            pass  # fall back to the NumPy reference implementation
+        except (OSError, RuntimeError, ValueError) as e:
+            # Fall back to the NumPy reference implementation, but loudly:
+            # a silent fallback here hides real native-layer bugs (stale
+            # .so, argtype mismatch) behind a 30x slower build.
+            print(
+                f"[bsp] native builder failed ({e!r}); "
+                "falling back to NumPy",
+                file=sys.stderr,
+            )
 
     root_lo = prim_lo.min(axis=0)
     root_hi = prim_hi.max(axis=0)

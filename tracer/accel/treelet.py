@@ -129,11 +129,9 @@ def build(
     blocks[:, 10] = valid.astype(np.float32)
     blocks[:, 11:14] = nrm.transpose(0, 2, 1)
     blocks[:, 14] = kpl
-    # Row 15 (pad): treelet AABB in cols 0..5 — the super_hits kernel
-    # pretests each streamed block against its sub-tile frustums straight
-    # from the DMA'd block, no side table.
-    blocks[:, 15, 0:3] = bvh.node_min[cut_nodes]
-    blocks[:, 15, 3:6] = bvh.node_max[cut_nodes]
+    # Row 15 is pure sublane padding (the kernels read treelet AABBs from
+    # the box_table side table, which stays VMEM-resident, not from the
+    # DMA'd block).
 
     # --- Top tree: 8-ary collapse of everything above the cut.
     rows_box: list[np.ndarray] = []

@@ -151,42 +151,40 @@ def main(argv=None) -> int:
         print(f"[cli] profiling to {args.profile}", file=sys.stderr)
     else:
         prof_ctx = contextlib.nullcontext()
-    prof_ctx.__enter__()
 
     stats = RenderStats(print_every=args.stats_every)
-    if args.sharded:
-        from tracer.parallel import shard as S
+    with prof_ctx:  # trace is closed/written even if rendering raises
+        if args.sharded:
+            from tracer.parallel import shard as S
 
-        mesh = S.make_ray_mesh()
-        scene_r = S.replicate_scene(scene, mesh)
-        st = S.shard_state(state or P.init_state(cfg), mesh)
-        step = S.sharded_step(mesh)
-        for i in range(int(st.iteration), args.samples):
-            stats.begin()
-            st = step(scene_r, cfg, st)
-            st.accum.block_until_ready()
-            stats.end()
-        img = S.gather_image(st, cfg)
-        lin = np.asarray(st.accum)[: cfg.width * cfg.height]
-        final_iter = int(st.iteration)
-    else:
-        st = state or P.init_state(cfg)
-        for i in range(int(st.iteration), args.samples):
-            stats.begin()
-            st = P.step(scene, cfg, st)
-            st.accum.block_until_ready()
-            stats.end()
-            if (
-                args.checkpoint
-                and args.checkpoint_every
-                and (i + 1) % args.checkpoint_every == 0
-            ):
-                P.save_checkpoint(args.checkpoint, st, cfg)
-        img = P.image(st, cfg)
-        lin = np.asarray(st.accum)
-        final_iter = int(st.iteration)
-
-    prof_ctx.__exit__(None, None, None)
+            mesh = S.make_ray_mesh()
+            scene_r = S.replicate_scene(scene, mesh)
+            st = S.shard_state(state or P.init_state(cfg), mesh)
+            step = S.sharded_step(mesh)
+            for i in range(int(st.iteration), args.samples):
+                stats.begin()
+                st = step(scene_r, cfg, st)
+                st.accum.block_until_ready()
+                stats.end()
+            img = S.gather_image(st, cfg)
+            lin = np.asarray(st.accum)[: cfg.width * cfg.height]
+            final_iter = int(st.iteration)
+        else:
+            st = state or P.init_state(cfg)
+            for i in range(int(st.iteration), args.samples):
+                stats.begin()
+                st = P.step(scene, cfg, st)
+                st.accum.block_until_ready()
+                stats.end()
+                if (
+                    args.checkpoint
+                    and args.checkpoint_every
+                    and (i + 1) % args.checkpoint_every == 0
+                ):
+                    P.save_checkpoint(args.checkpoint, st, cfg)
+            img = P.image(st, cfg)
+            lin = np.asarray(st.accum)
+            final_iter = int(st.iteration)
     print(f"[cli] rendered {final_iter} samples; {stats.summary()}",
           file=sys.stderr)
     if args.checkpoint:
