@@ -40,8 +40,10 @@ Top-tree row layout (R, 8 children, 8 fields):
 from __future__ import annotations
 
 from collections import deque
+from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tracer.accel.lbvh import BvhBuffers
@@ -63,18 +65,105 @@ class TreeletBvh:
     T: int  # triangles per block
 
 
+@dataclass(frozen=True)
+class TreeletHost:
+    """Host-side treelet build product: everything *except* the big
+    (NT, 16, T) block table, which is assembled on device from ``pids``
+    (``assemble_blocks``) — packing 870k triangles into feature-major
+    blocks is a pure gather, exactly the op the TPU does in ~ms and host
+    NumPy spends seconds on. Also the unit that the scene disk cache
+    persists (small: ~6 MB vs the 94 MB block table)."""
+
+    top: np.ndarray  # (R, 8, 8) f32
+    pids: np.ndarray  # (NT, T) i32 primitive id per block slot
+    counts: np.ndarray  # (NT,) i32 valid slots per block
+    t_lo: np.ndarray  # (NT, 3) f32
+    t_hi: np.ndarray  # (NT, 3) f32
+    box_table: np.ndarray  # (NT, 8) f32
+    depth: int
+    T: int
+
+
+@jax.jit
+def assemble_blocks(verts, idx, pids, valid):
+    """Gather + edge/normal precompute for the (NT, 16, T) block table,
+    on device (one fused gather per vertex slot; see PROFILE.md finding 7)."""
+    tri = idx[pids]  # (NT, T, 3)
+    v = verts[tri]  # (NT, T, 3, 3)
+    v0 = v[:, :, 0]
+    e0 = v[:, :, 1] - v0
+    e1 = v[:, :, 2] - v0
+    nrm = jnp.cross(e0, e1)
+    kpl = jnp.sum(v0 * nrm, axis=-1)
+    pidf = jnp.where(valid, pids, -1).astype(jnp.float32)
+    rows = [
+        v0[..., 0], v0[..., 1], v0[..., 2],
+        e0[..., 0], e0[..., 1], e0[..., 2],
+        e1[..., 0], e1[..., 1], e1[..., 2],
+        pidf,
+        valid.astype(jnp.float32),
+        nrm[..., 0], nrm[..., 1], nrm[..., 2],
+        kpl,
+        jnp.zeros_like(kpl),  # row 15: sublane padding
+    ]
+    return jnp.stack(rows, axis=1)  # (NT, 16, T)
+
+
+def from_host(
+    host: TreeletHost, verts_dev: jnp.ndarray, idx_dev: jnp.ndarray
+) -> TreeletBvh:
+    """TreeletHost + device geometry -> TreeletBvh (blocks gathered on
+    device)."""
+    T = host.T
+    pids = jnp.asarray(host.pids, jnp.int32)
+    valid = (
+        jnp.arange(T, dtype=jnp.int32)[None, :]
+        < jnp.asarray(host.counts, jnp.int32)[:, None]
+    )
+    blocks = assemble_blocks(
+        jnp.asarray(verts_dev, jnp.float32), jnp.asarray(idx_dev, jnp.int32),
+        pids, valid,
+    )
+    return TreeletBvh(
+        top=jnp.asarray(host.top),
+        blocks=blocks,
+        t_lo=jnp.asarray(host.t_lo, jnp.float32),
+        t_hi=jnp.asarray(host.t_hi, jnp.float32),
+        box_table=jnp.asarray(host.box_table, jnp.float32),
+        depth=int(host.depth),
+        T=T,
+    )
+
+
 def build(
-    bvh: BvhBuffers, vertices: np.ndarray, indices: np.ndarray, T: int = 1024
+    bvh: BvhBuffers,
+    vertices: np.ndarray,
+    indices: np.ndarray,
+    T: int = 1024,
+    verts_dev=None,
+    idx_dev=None,
 ) -> TreeletBvh:
     """Cut the binary LBVH into <=T-triangle treelets and an 8-ary top tree.
 
-    Fully vectorized block packing (the subtree ranges of a Karras radix
-    tree are contiguous in sorted-primitive order, so every treelet is a
-    slice of ``prim_ids``); the top-tree collapse is a small host loop over
-    ~NT/7 rows.
+    ``verts_dev``/``idx_dev``: already-uploaded geometry buffers to reuse
+    for the device-side block assembly (avoids a second host->device copy).
     """
-    verts = np.asarray(vertices, np.float32)
-    idx = np.asarray(indices, np.int64)
+    host = build_host(bvh, T)
+    return from_host(
+        host,
+        verts_dev if verts_dev is not None else np.asarray(vertices, np.float32),
+        idx_dev if idx_dev is not None else np.asarray(indices, np.int32),
+    )
+
+
+def build_host(bvh: BvhBuffers, T: int = 1024) -> TreeletHost:
+    """Host half of the treelet build: cut selection + top-tree collapse.
+
+    Fully vectorized (the subtree ranges of a Karras radix tree are
+    contiguous in sorted-primitive order, so every treelet is a slice of
+    ``prim_ids``); the top-tree collapse is a small host loop over ~NT/7
+    rows.
+    """
     prim_ids = bvh.prim_ids.astype(np.int64)
     n = bvh.left.shape[0]
     count = bvh.count
@@ -109,29 +198,11 @@ def build(
     tid_of = np.full(n, -1, np.int64)
     tid_of[cut_nodes] = np.arange(NT)
 
-    # --- Pack treelet blocks (vectorized).
+    # --- Block slot -> primitive id matrix (the only per-triangle work).
     slot = np.arange(T)
     mat = firsts[:, None] + slot[None, :]  # (NT, T) indices into prim_ids
     valid = slot[None, :] < counts[:, None]
     pids = np.where(valid, prim_ids[np.clip(mat, 0, prim_ids.shape[0] - 1)], 0)
-    tri = idx[pids]  # (NT, T, 3)
-    v = verts[tri.reshape(-1)].reshape(NT, T, 3, 3)
-    v0 = v[:, :, 0]
-    e0 = v[:, :, 1] - v0
-    e1 = v[:, :, 2] - v0
-    nrm = np.cross(e0, e1)
-    kpl = np.sum(v0 * nrm, axis=-1)
-    blocks = np.zeros((NT, BLOCK_COLS, T), np.float32)
-    blocks[:, 0:3] = v0.transpose(0, 2, 1)
-    blocks[:, 3:6] = e0.transpose(0, 2, 1)
-    blocks[:, 6:9] = e1.transpose(0, 2, 1)
-    blocks[:, 9] = np.where(valid, pids, -1).astype(np.float32)
-    blocks[:, 10] = valid.astype(np.float32)
-    blocks[:, 11:14] = nrm.transpose(0, 2, 1)
-    blocks[:, 14] = kpl
-    # Row 15 is pure sublane padding (the kernels read treelet AABBs from
-    # the box_table side table, which stays VMEM-resident, not from the
-    # DMA'd block).
 
     # --- Top tree: 8-ary collapse of everything above the cut.
     rows_box: list[np.ndarray] = []
@@ -187,12 +258,13 @@ def build(
     box_table = np.zeros((NT, 8), np.float32)
     box_table[:, 0:3] = bvh.node_min[cut_nodes]
     box_table[:, 3:6] = bvh.node_max[cut_nodes]
-    return TreeletBvh(
-        top=jnp.asarray(top),
-        blocks=jnp.asarray(blocks),
-        t_lo=jnp.asarray(bvh.node_min[cut_nodes], jnp.float32),
-        t_hi=jnp.asarray(bvh.node_max[cut_nodes], jnp.float32),
-        box_table=jnp.asarray(box_table),
+    return TreeletHost(
+        top=top,
+        pids=pids.astype(np.int32),
+        counts=counts.astype(np.int32),
+        t_lo=np.asarray(bvh.node_min[cut_nodes], np.float32),
+        t_hi=np.asarray(bvh.node_max[cut_nodes], np.float32),
+        box_table=box_table,
         depth=int(max_depth),
         T=T,
     )

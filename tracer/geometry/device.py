@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,6 +122,17 @@ def empty_triangles() -> AnalyticTriangles:
     )
 
 
+@jax.jit
+def _tri_table(verts, norms, idx, mat_ids):
+    """Per-triangle attribute rows gathered on device (one fused row gather
+    per vertex slot; PROFILE.md finding 7)."""
+    cols = [verts[idx[:, c]] for c in range(3)]
+    cols += [norms[idx[:, c]] for c in range(3)]
+    cols.append(mat_ids.astype(jnp.float32)[:, None])
+    cols.append(jnp.zeros((idx.shape[0], 2), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
 def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.ndarray]:
     """MeshData -> (geometry, materials, light_indices) device buffers.
 
@@ -128,24 +140,23 @@ def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.nda
     ``u32::MAX`` sentinel prepend (``storage_mesh.rs:330-332``) is dropped;
     the light list holds exactly the emissive-triangle ids.
     """
-    idx64 = mesh.indices.astype(np.int64)
     mat64 = np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(
         np.int64
     )
-    verts = np.asarray(mesh.vertices, np.float32)
-    norms = np.asarray(mesh.normals, np.float32)
-    ntri = idx64.shape[0]
-    tri_table = np.zeros((ntri, 20), np.float32)
-    for c in range(3):
-        tri_table[:, 3 * c : 3 * c + 3] = verts[idx64[:, c]]
-        tri_table[:, 9 + 3 * c : 12 + 3 * c] = norms[idx64[:, c]]
-    tri_table[:, 18] = mat64
+    verts_d = jnp.asarray(np.asarray(mesh.vertices, np.float32))
+    norms_d = jnp.asarray(np.asarray(mesh.normals, np.float32))
+    idx_d = jnp.asarray(mesh.indices.astype(np.int64), jnp.int32)
+    mat_d = jnp.asarray(mat64, jnp.int32)
     geom = GeometryBuffers(
-        vertices=jnp.asarray(verts),
-        normals=jnp.asarray(norms),
-        indices=jnp.asarray(idx64, jnp.int32),
-        mat_ids=jnp.asarray(mat64, jnp.int32),
-        tri_table=jnp.asarray(tri_table),
+        vertices=verts_d,
+        normals=norms_d,
+        indices=idx_d,
+        mat_ids=mat_d,
+        # Assembled on device: the (T, 20) table is 70 MB for dragon-sized
+        # meshes — gathering it on the TPU from the 10 MB vertex/index
+        # buffers beats building it on the host and shipping it through
+        # the interconnect.
+        tri_table=_tri_table(verts_d, norms_d, idx_d, mat_d),
     )
     mats = mesh.materials
     table = MaterialTable(

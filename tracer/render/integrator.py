@@ -1015,6 +1015,20 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
 # ---------------------------------------------------------------------------
 
 
+# Shader ids that can respawn a continuation ray. If a scene's
+# possible_shaders has none of these, every lane terminates on its first
+# hit and the bounce loop collapses to a single unrolled iteration.
+_CONTINUATION_SHADERS = frozenset(
+    {SHADER_MIRROR, SHADER_TRANSMIT, SHADER_GLOSSY, SHADER_TRANSPARENT}
+)
+
+
+def _single_bounce(cfg: SceneConfig) -> bool:
+    return cfg.mode == "direct" and not (
+        _CONTINUATION_SHADERS & set(cfg.possible_shaders)
+    )
+
+
 def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
     """The fragment-shader main loop (w8e3.wgsl:264-275) over the wavefront:
     iterate up to ``max_depth`` bounces, accumulating ``result += shade(...)``
@@ -1022,12 +1036,21 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
 
     Driver: cfg.loop == "while" exits as soon as every lane is done (one
     traversal total for terminal-shader scenes); "scan" runs the static
-    depth and is reverse-mode differentiable.
+    depth and is reverse-mode differentiable. Scenes whose shader set has
+    no continuation materials skip the loop machinery entirely (one
+    unrolled iteration — the XLA analog of the reference compiling each
+    scene's shader with only its own switch arms).
     """
     n = rays0.o.shape[0]
 
     def body(carry, _):
         rays, result, factor, emit, done, state = carry
+        # Done lanes collapse their ray interval to empty so every
+        # traversal engine's alive-culling skips them — without this, a
+        # fixed-depth scan re-traces the full original wavefront at every
+        # remaining depth (measured 34 ms/bounce of pure waste on dragon).
+        rays = Rays(rays.o, rays.d, rays.tmin,
+                    jnp.where(done, rays.tmin, rays.tmax))
         hit = trace_closest(scene, cfg, rays)
 
         miss = ~hit.valid & ~done
@@ -1069,6 +1092,9 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         jnp.zeros(n, bool),
         state0,
     )
+    if _single_bounce(cfg) and cfg.max_depth >= 1:
+        carry, _ = body(carry0, None)
+        return carry[1]
     if cfg.loop == "while":
         def wcond(st):
             i, carry = st

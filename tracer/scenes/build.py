@@ -31,16 +31,23 @@ from tracer.scenes.registry import SceneDescriptor
 
 @lru_cache(maxsize=16)
 def _load_mesh_cached(path: str, scale: float):
+    from tracer.scenes import cache as disk_cache
+
+    m = disk_cache.load_mesh(path, scale)
+    if m is not None:
+        return m
     if not os.path.exists(path):
         # bunny.obj / dragon.obj are listed in the reference's
         # .MISSING_LARGE_BLOBS — substitute a procedural stand-in of
         # comparable triangle count so the scene and benchmarks still run.
         from tracer.geometry.procedural import standin_for
 
-        return standin_for(path)
-    m = obj_mod.load_obj(path)
-    if scale != 1.0:
-        m = m.scale(scale)
+        m = standin_for(path)
+    else:
+        m = obj_mod.load_obj(path)
+        if scale != 1.0:
+            m = m.scale(scale)
+    disk_cache.save_mesh(path, scale, m)
     return m
 
 
@@ -135,11 +142,19 @@ def build_scene(desc: SceneDescriptor):
         if cfg.traversal == "bvh":
             # Default BVH path: treelet-cut packet traversal (accel.packet)
             # — the TPU-native redesign of the reference's per-thread BVH
-            # walk (res/shaders/bvh.wgsl:154-191).
+            # walk (res/shaders/bvh.wgsl:154-191). The small host product
+            # is disk-cached; the 94 MB block table is gathered on device
+            # from the already-uploaded geometry buffers.
             from tracer.accel import treelet as treelet_mod
+            from tracer.scenes import cache as disk_cache
 
-            binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
-            tb = treelet_mod.build(binary, mesh.vertices, mesh.indices)
+            fp = disk_cache.mesh_fingerprint(mesh)
+            host = disk_cache.load_treelet_host(fp, desc.bvh_leaf, 1024)
+            if host is None:
+                binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
+                host = treelet_mod.build_host(binary, T=1024)
+                disk_cache.save_treelet_host(fp, desc.bvh_leaf, host)
+            tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
         elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
