@@ -204,7 +204,8 @@ def test_flat_overflow_rounds(blob_tb):
     t_ref, id_ref = mesh_brute_force(
         rays, jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
     )
-    t, pid = flat._run(rays, tb, None, any_hit=False, K=8)
+    t, pid, conv = flat._run(rays, tb, None, any_hit=False, K=8)
+    assert bool(np.asarray(conv).all())  # sweep covered every block
     np.testing.assert_array_equal(
         np.asarray(id_ref), np.asarray(pid.astype(jnp.int32))
     )
@@ -289,3 +290,56 @@ def test_agglom_singleton():
     bvh = agglom.build(lo, hi)
     assert bvh.count[0] == 1
     lbvh.validate(bvh, 1)
+
+
+def test_truncation_is_loud(blob_tb, monkeypatch):
+    """A traversal cut off by its round/iteration cap must be detectable:
+    engines return converged=False and the integrator paints the magenta
+    error sentinel (the reference's loud-failure philosophy,
+    bvh.wgsl:139-148) instead of a silently plausible image."""
+    from tracer.accel import flat, wide
+    import tracer.accel.wide as wide_mod
+
+    mesh, tb = blob_tb
+    rays = _mixed_rays(mesh, n=512, seed=3)
+
+    # flat: force overflow (K=2 emissions) and forbid sweep rounds.
+    monkeypatch.setattr(flat, "MAX_ROUNDS", 1)
+    t, pid, conv = flat._run(rays, tb, None, any_hit=False, K=2)
+    assert not bool(np.asarray(conv).all()), "cap trip must clear converged"
+
+    # wide: iteration budget far below tree size.
+    wb = wide_mod.build(
+        __import__("tracer.accel.lbvh", fromlist=["x"]).build(
+            *mesh.bboxes(), max_prims=4
+        ),
+        mesh.vertices,
+        mesh.indices,
+    )
+    monkeypatch.setattr(wide_mod, "MAX_ITERS", 2)
+    t, pid, conv = wide_mod.closest_hit(rays, wb, with_conv=True)
+    assert not bool(np.asarray(conv).all())
+
+
+def test_truncation_paints_error_sentinel(monkeypatch):
+    """Integrator-level detection: with an adversarially tiny traversal
+    budget the rendered image shows the magenta sentinel, never a clean
+    (wrong) image."""
+    import dataclasses
+
+    from tracer.accel import flat
+    from tracer.render import integrator as I
+    from tracer.scenes import build_scene, get_scene
+
+    desc = get_scene("Project: Utah Teapot")
+    desc = dataclasses.replace(
+        desc, cfg=dataclasses.replace(desc.cfg, width=16, height=16)
+    )
+    scene, cfg = build_scene(desc)
+    monkeypatch.setattr(flat, "K_EMIT", 1)
+    monkeypatch.setattr(flat, "MAX_ROUNDS", 1)
+    img = np.asarray(I.render_sample(scene, cfg))
+    magenta = np.all(
+        np.isclose(img, np.array([0.7, 0.0, 0.7]), atol=1e-6), axis=-1
+    )
+    assert magenta.any(), "truncated traversal must be loud (magenta)"

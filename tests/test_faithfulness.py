@@ -85,6 +85,7 @@ def test_mix_ka_ambient_uses_material_ka():
         uv=jnp.zeros((n, 2), f32),
         textured=jnp.zeros(n, bool),
         is_mesh=jnp.ones(n, bool),
+        converged=jnp.ones(n, bool),
     )
     rays = Rays(
         o=jnp.zeros((n, 3), f32),
@@ -93,6 +94,6 @@ def test_mix_ka_ambient_uses_material_ka():
         tmax=jnp.full(n, 100.0, f32),
     )
     out = np.asarray(
-        I._shade_lambertian_direct(scene, cfg, rays, hit, albedo)
+        I._shade_lambertian_direct(scene, cfg, rays, hit, albedo)[0]
     )
     np.testing.assert_allclose(out, 0.1 * np.asarray(ka), atol=1e-6)

@@ -78,7 +78,7 @@ def trace_shade(s, e):
     state = jnp.zeros(n, jnp.uint32)
     factor = jnp.ones((n, 3), jnp.float32)
     emit = jnp.ones(n, bool)
-    color, _, _, _, _, _ = I.shade(s, cfg, rays, hit, factor, emit, state)
+    color = I.shade(s, cfg, rays, hit, factor, emit, state)[0]
     return color[:, 0]
 
 bench("raygen+trace+shade", trace_shade)

@@ -39,7 +39,7 @@ from tracer.kernels.super_hits import NSUB, SUB, SUPER
 
 _INF = jnp.float32(3.0e38)
 _BIG = jnp.float32(1.0e18)  # indefinite-interval sentinel (safe in products)
-K_EMIT = 4096
+K_EMIT = 256
 MAX_ROUNDS = 4096
 
 # Super-tile pixel geometry: 4x4 grid of 8x16 sub-tiles.
@@ -192,19 +192,52 @@ def _frustum_cull(tb: TreeletBvh, bounds):
     return ok, jnp.where(ok, jnp.maximum(near, 0.0), _INF)
 
 
-def _dispatch(tb, eids, enear, en, sb, o, d, tmin, bt, bp, any_hit):
+def _sub_gates(tb, ids, sb, prune_sub):
+    """Per-(emission, sub-tile) conservative frustum gates, packed to a
+    16-bit mask per emission. One dense XLA pass over the top-K selected
+    blocks — this is what lets the Pallas kernel's hot loop run without a
+    single vector op for culled sub-tiles.
+
+    ids: (ns, K); sb: (ns, NSUB, 16) packed sub bounds;
+    prune_sub: (ns, NSUB) initial per-sub window top. -> (ns, K) i32.
+    """
+    boxes = tb.box_table[jnp.clip(ids, 0, tb.box_table.shape[0] - 1)]
+    lo = boxes[:, :, None, 0:3]  # (ns, K, 1, 3)
+    hi = boxes[:, :, None, 3:6]
+    o_lo = sb[:, None, :, 0:3]  # (ns, 1, NSUB, 3)
+    o_hi = sb[:, None, :, 3:6]
+    d_lo = sb[:, None, :, 6:9]
+    d_hi = sb[:, None, :, 9:12]
+    near, far = interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi)  # (ns, K, NSUB)
+    tmin_lo = sb[:, None, :, 12]
+    alive = sb[:, None, :, 13] > 0.5
+    ok = (
+        (near <= far)
+        & (far >= tmin_lo)
+        & (jnp.maximum(near, 0.0) < prune_sub[:, None, :])
+        & alive
+    )
+    powers = jnp.arange(NSUB, dtype=jnp.int32)
+    return jnp.sum(
+        ok.astype(jnp.int32) << powers[None, None, :], axis=-1
+    )
+
+
+def _dispatch(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit):
     from tracer.kernels import treelet_hits as tk
 
     if tk.use_pallas():
         from tracer.kernels.super_hits import hits2
 
-        return hits2(tb, eids, enear, en, sb, o, d, tmin, bt, bp, any_hit)
+        return hits2(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit)
     from tracer.accel.packet import _phase_b_xla
 
     return _phase_b_xla(tb, eids, en, o, d, tmin, bt, bp, any_hit)
 
 
-def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int = K_EMIT):
+def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None):
+    if K is None:
+        K = K_EMIT  # read at call time so tests can shrink the budget
     n = rays.o.shape[0]
     if frame is not None and frame[0] * frame[1] == n:
         W, H = frame
@@ -247,21 +280,44 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int = K_EMIT):
     negnear, ids = jax.lax.top_k(jnp.where(ok, -near, -_INF), K)
     enear = -negnear  # ascending conservative entry distance; INF pad
 
+    # Per-sub-tile gates for the selected emissions; emissions whose gate
+    # mask is empty (super frustum passed, every sub frustum culled) are
+    # compacted out by a second near-ordered top_k so the kernel never
+    # DMAs them.
+    prune_sub = jnp.max(
+        jnp.where(
+            tmax.reshape(n_super, NSUB, SUB) > tmin.reshape(n_super, NSUB, SUB),
+            tmax.reshape(n_super, NSUB, SUB),
+            -_BIG,
+        ),
+        axis=2,
+    )
+    gm = _sub_gates(tb, ids, sb, prune_sub)
+    gated = (gm != 0) & (enear < _INF)
+    key = jnp.where(gated, negnear, -_INF)
+    negnear2, sel = jax.lax.top_k(key, K)
+    ids = jnp.take_along_axis(ids, sel, axis=1)
+    gm = jnp.take_along_axis(gm, sel, axis=1)
+    enear = -negnear2
+    en1 = jnp.sum(gated, axis=1, dtype=jnp.int32)
+
     bt0 = tmax
     bp0 = jnp.full((n_super, SUPER), -1.0, jnp.float32)
-    en1 = jnp.minimum(total, K)
-    bt, bp = _dispatch(tb, ids, enear, en1, sb, o, d, tmin, bt0, bp0, any_hit)
+    bt, bp = _dispatch(
+        tb, ids, enear, en1, gm, o, d, tmin, bt0, bp0, any_hit
+    )
 
     # Overflow super-tiles (emissions > K) sweep the remaining blocks in id
-    # order, en-gated so everyone else pays nothing. Conservative superset;
-    # the kernel's per-sub pretest still culls, only the stream break is
-    # disabled (enear = 0).
+    # order, en-gated so everyone else pays nothing. Conservative superset
+    # (all sub-tiles gated on); the kernel's per-sub bound check still
+    # culls, only the stream break is disabled (enear = 0).
     overflow = total > K
     if NT > K:
         iota_ids = jnp.broadcast_to(
             jnp.arange(K, dtype=jnp.int32)[None, :], (n_super, K)
         )
         zeros = jnp.zeros((n_super, K), jnp.float32)
+        full_mask = jnp.full((n_super, K), (1 << NSUB) - 1, jnp.int32)
 
         def round_body(carry):
             r, bt, bp = carry
@@ -269,29 +325,52 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int = K_EMIT):
             ids_r = jnp.minimum(iota_ids + base, NT - 1)
             en_r = jnp.where(overflow, jnp.clip(NT - base, 0, K), 0)
             bt, bp = _dispatch(
-                tb, ids_r, zeros, en_r, sb, o, d, tmin, bt, bp, any_hit
+                tb, ids_r, zeros, en_r, full_mask, o, d, tmin, bt, bp,
+                any_hit,
             )
             return r + 1, bt, bp
 
         def cond(c):
             return jnp.any(overflow) & ((c[0] - 1) * K < NT) & (c[0] < MAX_ROUNDS)
 
-        _, bt, bp = jax.lax.while_loop(cond, round_body, (jnp.int32(1), bt, bp))
+        r_end, bt, bp = jax.lax.while_loop(
+            cond, round_body, (jnp.int32(1), bt, bp)
+        )
+        # Converged iff the sweep covered every block before the round cap
+        # (the reference crashes loudly on traversal overflow,
+        # bvh.wgsl:139-148; we flag instead of hanging).
+        conv_super = ~overflow | ((r_end - 1) * K >= NT)
+    else:
+        conv_super = jnp.ones((n_super,), bool)
 
     bt = untile(bt)
     bp = untile(bp)
-    return bt, bp
+    conv = untile(
+        jnp.broadcast_to(conv_super[:, None], (n_super, SUPER)).astype(
+            jnp.float32
+        )
+    ) > 0.5
+    return bt, bp, conv
 
 
-def closest_hit(rays: Rays, tb: TreeletBvh, frame=None):
+def closest_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False):
     """(t, prim_id) closest hit; prim_id == -1 on miss. Exact (the frustum
-    cull is conservative; the per-ray hits kernel decides)."""
-    bt, bp = _run(rays, tb, frame, any_hit=False)
+    cull is conservative; the per-ray hits kernel decides).
+
+    ``with_conv=True`` additionally returns a per-ray bool that is False
+    when the overflow sweep hit its round cap before covering every block
+    — a clipped traversal is detectable, never silent."""
+    bt, bp, conv = _run(rays, tb, frame, any_hit=False)
     pid = bp.astype(jnp.int32)
-    return jnp.where(pid >= 0, bt, rays.tmax), pid
+    t = jnp.where(pid >= 0, bt, rays.tmax)
+    if with_conv:
+        return t, pid, conv
+    return t, pid
 
 
-def any_hit(rays: Rays, tb: TreeletBvh, frame=None):
+def any_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False):
     """Occlusion query over [tmin, tmax]."""
-    _, bp = _run(rays, tb, frame, any_hit=True)
+    _, bp, conv = _run(rays, tb, frame, any_hit=True)
+    if with_conv:
+        return bp > 0.0, conv
     return bp > 0.0

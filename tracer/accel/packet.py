@@ -423,22 +423,38 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool):
 
     bt = untile(bt.reshape(nc * C, TILE)[:n_tiles])
     bp = untile(bp.reshape(nc * C, TILE)[:n_tiles])
-    return bt, bp
+    # A tile whose walk finished has done=True; one cut off by the round
+    # cap (still paused) or the in-chunk iteration cap (neither done nor
+    # paused) is truncated — surface it (reference analog: the deliberate
+    # loud hang of bvh.wgsl:139-148).
+    conv_tile = st.done.reshape(nc * C)[:n_tiles]
+    conv = untile(
+        jnp.broadcast_to(
+            conv_tile[:, None], (n_tiles, TILE)
+        ).astype(jnp.float32)
+    ) > 0.5
+    return bt, bp, conv
 
 
-def closest_hit(rays: Rays, tb: TreeletBvh, frame=None):
+def closest_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False):
     """(t, prim_id) closest hit; prim_id == -1 on miss.
 
     ``frame=(W, H)``: when the wavefront is a full row-major frame, rays are
     regrouped into 8x8 pixel packets (pure layout ops); otherwise packets
-    are consecutive lanes.
+    are consecutive lanes. ``with_conv=True`` additionally returns the
+    per-ray truncation flag (False = walk was cut off by a cap).
     """
-    bt, bp = _run(rays, tb, frame, any_hit=False)
+    bt, bp, conv = _run(rays, tb, frame, any_hit=False)
     pid = bp.astype(jnp.int32)
-    return jnp.where(pid >= 0, bt, rays.tmax), pid
+    t = jnp.where(pid >= 0, bt, rays.tmax)
+    if with_conv:
+        return t, pid, conv
+    return t, pid
 
 
-def any_hit(rays: Rays, tb: TreeletBvh, frame=None):
+def any_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False):
     """Occlusion query over [tmin, tmax]."""
-    _, bp = _run(rays, tb, frame, any_hit=True)
+    _, bp, conv = _run(rays, tb, frame, any_hit=True)
+    if with_conv:
+        return bp > 0.0, conv
     return bp > 0.0

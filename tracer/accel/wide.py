@@ -316,7 +316,10 @@ def _traverse(rays: Rays, wb: WideBvh, any_hit: bool):
     )
     out = jax.lax.while_loop(cond, body, st)
     best_t, best_id = out[-2], out[-1]
-    return best_t, best_id
+    # Lanes still walking when MAX_ITERS tripped are truncated — surface
+    # it (reference analog: deliberate loud hang, bvh.wgsl:139-148).
+    conv = out[4]
+    return best_t, best_id, conv
 
 
 def _traverse_chunked(rays: Rays, wb: WideBvh, any_hit_flag: bool, chunk: int):
@@ -341,16 +344,27 @@ def _traverse_chunked(rays: Rays, wb: WideBvh, any_hit_flag: bool, chunk: int):
         tmin=padded(rays.tmin, 1.0),
         tmax=padded(rays.tmax, 0.0),
     )
-    t, pid = jax.lax.map(lambda r: _traverse(r, wb, any_hit_flag), chunks)
-    return t.reshape(-1)[:n], pid.reshape(-1)[:n]
+    t, pid, conv = jax.lax.map(lambda r: _traverse(r, wb, any_hit_flag), chunks)
+    return (
+        t.reshape(-1)[:n],
+        pid.reshape(-1)[:n],
+        conv.reshape(-1)[:n],
+    )
 
 
-def closest_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK):
-    """(t, prim_id) closest hit; prim_id == -1 on miss."""
-    return _traverse_chunked(rays, wb, False, chunk)
+def closest_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK, with_conv=False):
+    """(t, prim_id) closest hit; prim_id == -1 on miss. ``with_conv=True``
+    adds the per-lane truncation flag (False = cut off by the iteration
+    cap)."""
+    t, pid, conv = _traverse_chunked(rays, wb, False, chunk)
+    if with_conv:
+        return t, pid, conv
+    return t, pid
 
 
-def any_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK):
+def any_hit(rays: Rays, wb: WideBvh, chunk: int = CHUNK, with_conv=False):
     """Occlusion query over [tmin, tmax]."""
-    _, pid = _traverse_chunked(rays, wb, True, chunk)
+    _, pid, conv = _traverse_chunked(rays, wb, True, chunk)
+    if with_conv:
+        return pid >= 0, conv
     return pid >= 0

@@ -128,6 +128,8 @@ class HitRec:
         self.valid = False
         self.material = -1
         self.is_mesh = False
+        self.uv = np.zeros(2, F)  # plane texture coords (w3)
+        self.textured = False
 
 
 class OracleScene:
@@ -135,7 +137,8 @@ class OracleScene:
 
     def __init__(self):
         self.spheres = []  # (center, radius, shader, base_color, ior, extinction)
-        self.planes = []  # (position, normal, tangent, binormal, shader, base_color)
+        # (position, normal, tangent, binormal, shader, base_color, textured)
+        self.planes = []
         self.tris = []  # (v0, v1, v2, shader, base_color)
         self.mesh_vertices = None  # (V,3)
         self.mesh_normals = None
@@ -146,6 +149,13 @@ class OracleScene:
         self.light_indices = []  # emissive triangle ids
         self.mesh_shader = 0
         self.use_vertex_normals = True
+        # Plane texture (w3): (H, W, 4) f32 image + sampler mode + uv scale.
+        self.texture_img = None
+        self.tex_mode = 0  # TextureUse id (0 = none)
+        self.uv_scale = np.ones(2, F)
+        # Environment map (w9): lat-long image; kind 2 = RGBE-encoded alpha.
+        self.env_img = None
+        self.env_rgbe = False
 
 
 def intersect_sphere(ray: Ray, hit: HitRec, center, radius):
@@ -212,12 +222,19 @@ def intersect_scene(scene: OracleScene, ray: Ray, hit: HitRec, cfg) -> bool:
             hit.emission = v3(0.0)
             hit.is_mesh = False
             has = True
-    for (p, n, tg, bn, sh, bc) in scene.planes:
+    for (p, n, tg, bn, sh, bc, txd) in scene.planes:
         if intersect_plane(ray, hit, p, n):
             hit.shader = sh
             hit.base_color = bc
             hit.emission = v3(0.0)
             hit.is_mesh = False
+            # Plane ONB texture coords (w3e1.wgsl:232-255): abs() like the
+            # device integrator.
+            rel = (hit.position - p).astype(F)
+            hit.uv = np.array(
+                [abs(dot(rel, tg)), abs(dot(rel, bn))], F
+            )
+            hit.textured = bool(txd)
             has = True
     for (v0, v1, v2, sh, bc) in scene.tris:
         if intersect_triangle(ray, hit, v0, v1, v2):
@@ -244,13 +261,17 @@ def intersect_scene(scene: OracleScene, ray: Ray, hit: HitRec, cfg) -> bool:
             beta = np.einsum("ij,ij->i", nom, e1) / denom
             gamma = -np.einsum("ij,ij->i", nom, e0) / denom
             t = np.einsum("ij,ij->i", o_to_v0, n) / denom
-        ok = (
-            (beta >= 0)
-            & (gamma >= 0)
-            & (beta + gamma <= 1)
-            & (t >= ray.tmin)
-            & (t <= ray.tmax)
-        )
+            # Degenerate denominators produce inf/NaN; every comparison
+            # with them is False, and the isfinite pin makes the exclusion
+            # explicit (rather than warned past — advisor round-3 finding).
+            ok = (
+                np.isfinite(t)
+                & (beta >= 0)
+                & (gamma >= 0)
+                & (beta + gamma <= 1)
+                & (t >= ray.tmin)
+                & (t <= ray.tmax)
+            )
         if ok.any():
             ids = np.nonzero(ok)[0]
             best = ids[np.argmin(t[ids])]
@@ -277,6 +298,98 @@ def intersect_scene(scene: OracleScene, ray: Ray, hit: HitRec, cfg) -> bool:
             hit.is_mesh = True
             has = True
     return has
+
+
+def intersect_mesh_only(scene: OracleScene, ray: Ray, cfg) -> bool:
+    """Trimesh-only occlusion — ``intersect_trimesh_immediate_return`` as
+    the holdout shader uses it (w9e2.wgsl:514-538)."""
+    if scene.mesh_vertices is None:
+        return False
+    sub = OracleScene()
+    sub.mesh_vertices = scene.mesh_vertices
+    sub.mesh_normals = scene.mesh_normals
+    sub.mesh_indices = scene.mesh_indices
+    sub.mesh_matids = scene.mesh_matids
+    sub.mat_diffuse = scene.mat_diffuse
+    sub.mat_emission = scene.mat_emission
+    sub.mesh_shader = scene.mesh_shader
+    return intersect_scene(sub, ray, HitRec(), cfg)
+
+
+# --- Scalar texture sampling (mirrors tracer.render.texture semantics) ----
+
+
+def _tex_decode(texel, rgbe: bool):
+    rgb = texel[:3].astype(F)
+    if rgbe:
+        rgb = rgb * F(2.0) ** (texel[3] * F(255.0) - F(128.0))
+    return rgb.astype(F)
+
+
+def sample_nearest_np(img, rgbe, u, v):
+    h, w = img.shape[0], img.shape[1]
+    uu = u - np.floor(u)
+    vv = v - np.floor(v)
+    x = min(int(uu * w), w - 1)
+    y = min(int(vv * h), h - 1)
+    return _tex_decode(img[y, x], rgbe)
+
+
+def sample_bilinear_np(img, rgbe, u, v):
+    h, w = img.shape[0], img.shape[1]
+    uu = F(u - np.floor(u))
+    vv = F(v - np.floor(v))
+    fx = uu * w - F(0.5)
+    fy = vv * h - F(0.5)
+    x0 = np.floor(fx)
+    y0 = np.floor(fy)
+    tx = F(fx - x0)
+    ty = F(fy - y0)
+    x0i = int(x0) % w
+    y0i = int(y0) % h
+    x1i = (x0i + 1) % w
+    y1i = (y0i + 1) % h
+    c00 = _tex_decode(img[y0i, x0i], rgbe)
+    c10 = _tex_decode(img[y0i, x1i], rgbe)
+    c01 = _tex_decode(img[y1i, x0i], rgbe)
+    c11 = _tex_decode(img[y1i, x1i], rgbe)
+    top = c00 * (F(1.0) - tx) + c10 * tx
+    bot = c01 * (F(1.0) - tx) + c11 * tx
+    return (top * (F(1.0) - ty) + bot * ty).astype(F)
+
+
+def sample_np(img, rgbe, u, v, mode):
+    """Sampler-mode dispatch (w3e4.wgsl:196-216): Default/Bilinear ->
+    bilinear, Nearest -> nearest."""
+    if mode == 3:
+        return sample_nearest_np(img, rgbe, u, v)
+    return sample_bilinear_np(img, rgbe, u, v)
+
+
+def environment_np(scene: OracleScene, direction):
+    """Lat-long environment lookup (w9e2.wgsl:234-246)."""
+    d = normalize(direction)
+    u = F(0.5) * (F(1.0) + F(np.arctan2(d[0], -d[2])) / PIF)
+    v = F(np.arccos(np.clip(-d[1], -1.0, 1.0))) / PIF
+    return sample_bilinear_np(
+        scene.env_img, scene.env_rgbe, u, F(1.0) - v
+    )
+
+
+def albedo_of(scene: OracleScene, cfg, hit: HitRec):
+    """Albedo with optional plane texture: fract(uv * uv_scale) through the
+    uniform-selected sampler (integrator._plane_albedo parity)."""
+    if (
+        getattr(cfg, "plane_texture", False)
+        and scene.texture_img is not None
+        and hit.textured
+        and scene.tex_mode != 0
+    ):
+        uv = hit.uv * scene.uv_scale
+        u = F(uv[0] - np.floor(uv[0]))
+        v = F(uv[1] - np.floor(uv[1]))
+        return sample_np(scene.texture_img, False, u, v, scene.tex_mode)
+    return hit.base_color
 
 
 def rotate_to_normal(normal, v):
@@ -339,7 +452,7 @@ def shade_path(scene, cfg, ray: Ray, hit: HitRec, rng_: Rng):
     """w8e3-family shade. Mutates ray/hit; returns color."""
     sid = hit.shader
     if sid == 0:  # lambertian
-        brdf = (hit.base_color / PIF).astype(F)
+        brdf = (albedo_of(scene, cfg, hit) / PIF).astype(F)
         emission = hit.emission
         diffuse = v3(0.0)
         L = len(scene.light_indices)
@@ -399,7 +512,17 @@ def shade_path(scene, cfg, ray: Ray, hit: HitRec, rng_: Rng):
     if sid == 5:
         return ((hit.normal + 1.0) * 0.5).astype(F)
     if sid == 6:
-        return (hit.base_color + hit.emission).astype(F)
+        return (albedo_of(scene, cfg, hit) + hit.emission).astype(F)
+    if sid == 8:  # holdout (w9e2.wgsl:514-538): cosine AO probe vs trimesh
+        ao_dir = cosine_hemisphere(normalize(hit.normal), rng_)
+        aoray = Ray(ao_dir, hit.position, tmax=F(cfg.tmax), tmin=F(cfg.eta))
+        if intersect_mesh_only(scene, aoray, cfg):
+            return v3(0.0)
+        if scene.env_img is not None:
+            env = environment_np(scene, ray.d)
+        else:
+            env = np.array(cfg.bg_color, F)
+        return (env * hit.factor).astype(F)
     if sid == 7:  # transparent, w8e3 "absorb" variant
         w_i = -normalize(ray.d)
         normal = normalize(hit.normal)
@@ -469,6 +592,7 @@ def shade_mirror_inner(cfg, ray: Ray, hit: HitRec):
 def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
     sid = hit.shader
     if sid == 0:  # lambertian (w1/w2 family)
+        alb = albedo_of(scene, cfg, hit)
         blocked = False
         diffuse = v3(0.0)
         for kind in cfg.lights:
@@ -487,7 +611,7 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
                 # loop body ``break``s after the first iteration — exactly
                 # one unscaled directional sample, no shadow ray.
                 w_i = -normalize(np.array(cfg.dir_light_direction, F))
-                diffuse = diffuse + hit.base_color * (
+                diffuse = diffuse + alb * (
                     dot(hit.normal, w_i)
                     * np.array(cfg.dir_light_intensity, F)
                     / PIF
@@ -502,7 +626,7 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
                 )
                 tmp = HitRec()
                 blocked = blocked or intersect_scene(scene, sray, tmp, cfg)
-            diffuse = diffuse + hit.base_color * (
+            diffuse = diffuse + alb * (
                 dot(hit.normal, w_i) * l_i * (F(1.0) - hit.specular) / PIF
             )
         if "area_all" in cfg.lights:
@@ -527,14 +651,14 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
                 sray = Ray(w_i, hit.position, tmax=dist - F(cfg.eta), tmin=F(cfg.eta))
                 tmp = HitRec()
                 if not intersect_scene(scene, sray, tmp, cfg):
-                    diffuse = diffuse + hit.base_color * dot(hit.normal, w_i) * l_i / PIF
+                    diffuse = diffuse + alb * dot(hit.normal, w_i) * l_i / PIF
         if cfg.ambient in ("mix", "mix_ka"):
             # "mix_ka": w6e1.wgsl:295-297 mixes in Ka (material.ambient,
             # carried as hit.emission for mesh hits) instead of base color.
             if cfg.ambient == "mix_ka" and hit.is_mesh:
                 ambient = hit.emission
             else:
-                ambient = hit.base_color
+                ambient = alb
             if cfg.shadows and blocked:
                 return (ambient * F(0.1)).astype(F)
             return (F(0.9) * diffuse + F(0.1) * ambient).astype(F)
@@ -576,7 +700,7 @@ def shade_direct(scene, cfg, ray: Ray, hit: HitRec, cam_eye):
     if sid == 5:
         return ((hit.normal + 1.0) * 0.5).astype(F)
     if sid == 6:
-        return (hit.base_color + hit.emission).astype(F)
+        return (albedo_of(scene, cfg, hit) + hit.emission).astype(F)
     return v3(0.7, 0.0, 0.7)
 
 
@@ -653,7 +777,10 @@ def _trace_pixel(scene, cfg, cam, u, v, jitter, rng_):
                 c = np.minimum(c, F(cfg.firefly_clamp))
             result = result + c
         else:
-            result = result + np.array(cfg.bg_color, F)
+            if getattr(cfg, "env_light", False) and scene.env_img is not None:
+                result = result + environment_np(scene, ray.d) * hit.factor
+            else:
+                result = result + np.array(cfg.bg_color, F)
             break
         if hit.has_hit:
             break

@@ -72,6 +72,7 @@ class Hit:
     uv: jnp.ndarray  # (N, 2) plane texture coords
     textured: jnp.ndarray  # (N,) bool
     is_mesh: jnp.ndarray  # (N,) bool
+    converged: jnp.ndarray  # (N,) bool — False iff a traversal cap tripped
 
 
 def _resolve_shader(shader_code, uniforms):
@@ -107,6 +108,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
         uv=jnp.zeros((n, 2), f32),
         textured=jnp.zeros(n, bool),
         is_mesh=jnp.zeros(n, bool),
+        converged=jnp.ones(n, bool),
     )
 
     def upd(best: Hit, closer, **fields) -> Hit:
@@ -221,6 +223,7 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
     # --- Triangle mesh via the configured traversal.
     if scene.geom is not None:
         sub = Rays(rays.o, rays.d, rays.tmin, best.t)
+        mesh_conv = None  # engines without caps always converge
         if cfg.traversal == "brute":
             t_m, tri = intersect.mesh_brute_force(
                 sub, scene.geom.vertices, scene.geom.indices
@@ -249,10 +252,12 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             from tracer.accel import wide as wide_mod
 
             sg = jax.lax.stop_gradient
-            t_m, tri = wide_mod.closest_hit(
+            t_m, tri, conv = wide_mod.closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 scene.wide,
+                with_conv=True,
             )
+            mesh_conv = conv
         else:  # "bvh" — treelet traversal (default): dense frustum cull
             # for coherent direct-mode wavefronts, per-ray packet walk for
             # path-mode bounces (incoherent tiles defeat interval frustums)
@@ -261,11 +266,13 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
 
             mod = flat_mod if cfg.mode == "direct" else packet_mod
             sg = jax.lax.stop_gradient
-            t_m, tri = mod.closest_hit(
+            t_m, tri, conv = mod.closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 jax.tree.map(sg, scene.tb),  # accel buffers carry no grads
                 frame=(cfg.width, cfg.height),
+                with_conv=True,
             )
+            mesh_conv = conv
         ok = tri >= 0
         tri_c = jnp.clip(tri, 0, scene.geom.indices.shape[0] - 1)
         if cfg.loop == "while":
@@ -334,18 +341,25 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             is_mesh=jnp.ones(n, bool),
             textured=jnp.zeros(n, bool),
         )
+        if mesh_conv is not None:
+            from tracer.util import replace as _rep
+
+            best = _rep(best, converged=best.converged & mesh_conv)
 
     return best
 
 
-def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
+def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays,
+                   with_conv=False):
     """Boolean occlusion over the full scene (shadow rays).
 
     The reference's shadow test reuses the closest-hit ``intersect_scene``
     (``w8e3.wgsl:469-471``); only the boolean is consumed, so an any-hit
-    traversal is used for the mesh part.
+    traversal is used for the mesh part. ``with_conv=True`` adds the
+    per-lane traversal-truncation flag.
     """
     n = rays.o.shape[0]
+    conv = jnp.ones(n, bool)
     blocked = jnp.zeros(n, bool)
     S = scene.spheres.radius.shape[0]
     for i in range(S):
@@ -393,17 +407,20 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays):
         elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
-            b = wide_mod.any_hit(srays, scene.wide)
+            b, conv = wide_mod.any_hit(srays, scene.wide, with_conv=True)
         else:  # "bvh" — treelet traversal (default; see trace_closest)
             from tracer.accel import flat as flat_mod
             from tracer.accel import packet as packet_mod
 
             mod = flat_mod if cfg.mode == "direct" else packet_mod
-            b = mod.any_hit(
+            b, conv = mod.any_hit(
                 srays, jax.tree.map(sg, scene.tb),
                 frame=(cfg.width, cfg.height),
+                with_conv=True,
             )
         blocked = blocked | b
+    if with_conv:
+        return blocked, conv
     return blocked
 
 
@@ -534,21 +551,24 @@ ERROR_COLOR = jnp.array([0.7, 0.0, 0.7], jnp.float32)
 
 def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
     """Trimesh-only occlusion — ``intersect_trimesh_immediate_return`` as
-    used by the holdout shader (w9e2.wgsl:514-538)."""
+    used by the holdout shader (w9e2.wgsl:514-538). Returns
+    (blocked, converged)."""
+    n = rays.o.shape[0]
+    ones = jnp.ones(n, bool)
     if scene.geom is None:
-        return jnp.zeros(rays.o.shape[0], bool)
+        return jnp.zeros(n, bool), ones
     sg = jax.lax.stop_gradient
     srays = Rays(sg(rays.o), sg(rays.d), sg(rays.tmin), sg(rays.tmax))
     if cfg.traversal == "brute":
         return intersect.mesh_brute_force_anyhit(
             srays, scene.geom.vertices, scene.geom.indices
-        )
+        ), ones
     if cfg.traversal == "bsp":
         from tracer.accel import bsp as bsp_mod
 
         return bsp_mod.bsp_any_hit(
             srays, scene.bsp, sg(scene.geom.vertices), sg(scene.geom.indices)
-        )
+        ), ones
     if cfg.traversal == "bvh2":
         return traverse.bvh_any_hit(
             srays,
@@ -556,24 +576,26 @@ def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
             sg(scene.geom.vertices),
             sg(scene.geom.indices),
             max_leaf=cfg.max_leaf,
-        )
+        ), ones
     if cfg.traversal == "bvh8":
         from tracer.accel import wide as wide_mod
 
-        return wide_mod.any_hit(srays, scene.wide)
+        return wide_mod.any_hit(srays, scene.wide, with_conv=True)
     from tracer.accel import flat as flat_mod
     from tracer.accel import packet as packet_mod
 
     mod = flat_mod if cfg.mode == "direct" else packet_mod
     return mod.any_hit(
-        srays, jax.tree.map(sg, scene.tb), frame=(cfg.width, cfg.height)
+        srays, jax.tree.map(sg, scene.tb), frame=(cfg.width, cfg.height),
+        with_conv=True,
     )
 
 
 def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
-    """w1/w2/w5-family direct lambertian. Returns terminal color."""
+    """w1/w2/w5-family direct lambertian. Returns (color, converged)."""
     n_lanes = hit.t.shape[0]
     nrm = hit.normal
+    conv = jnp.ones(n_lanes, bool)
     diffuse = jnp.zeros((n_lanes, 3), jnp.float32)
     blocked_point = jnp.zeros(n_lanes, bool)
     any_point_light = False
@@ -588,7 +610,10 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
                     tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
                     tmax=jnp.full(n_lanes, cfg.tmax, jnp.float32),
                 )
-                blocked_point = trace_occluded(scene, cfg, sray)
+                blocked_point, c1 = trace_occluded(
+                    scene, cfg, sray, with_conv=True
+                )
+                conv = conv & c1
             # light_diffuse_contribution (w1e6.wgsl:274-280): unclamped dot.
             diffuse = diffuse + albedo * (
                 vec.dot(nrm, w_i)[..., None]
@@ -605,7 +630,9 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
                     tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
                     tmax=jnp.full(n_lanes, cfg.tmax, jnp.float32),
                 )
-                blocked_point = blocked_point | trace_occluded(scene, cfg, sray)
+                b1, c1 = trace_occluded(scene, cfg, sray, with_conv=True)
+                blocked_point = blocked_point | b1
+                conv = conv & c1
             diffuse = diffuse + albedo * (
                 vec.dot(nrm, w_i)[..., None]
                 * l_i
@@ -636,7 +663,8 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
                     tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
                     tmax=dist - cfg.eta,
                 )
-                blocked = trace_occluded(scene, cfg, sray)
+                blocked, c1 = trace_occluded(scene, cfg, sray, with_conv=True)
+                conv = conv & c1
                 contrib = albedo * vec.dot(nrm, w_i)[..., None] * l_i / PI
                 diffuse = diffuse + vec.where(~blocked, contrib, 0.0)
     if cfg.ambient in ("mix", "mix_ka"):
@@ -651,12 +679,12 @@ def _shade_lambertian_direct(scene, cfg, rays, hit, albedo):
         lit = 0.9 * diffuse + 0.1 * ambient
         shadowed = ambient * 0.1
         if cfg.shadows and any_point_light:
-            return vec.where(blocked_point, shadowed, lit)
-        return lit
+            return vec.where(blocked_point, shadowed, lit), conv
+        return lit, conv
     if cfg.ambient == "plain_scaled":
-        return diffuse + 0.1 * hit.emission
+        return diffuse + 0.1 * hit.emission, conv
     # "plain": diffuse + material emission as ambient term (w5e5).
-    return diffuse + hit.emission
+    return diffuse + hit.emission, conv
 
 
 def _shade_phong(scene, cfg, rays, hit):
@@ -779,12 +807,13 @@ def _shade_lambertian_path(scene, cfg, rays, hit, factor, emit, state):
     """w7e3/w8e3 path-traced lambertian: one-sample NEE over area lights,
     emission gating, cosine-hemisphere indirect with Russian roulette.
 
-    Returns (color, new_rays, cont, factor', emit', state').
+    Returns (color, new_rays, cont, factor', emit', state', converged).
     """
     n_lanes = hit.t.shape[0]
     albedo = _plane_albedo(scene, cfg, hit)
     brdf = albedo / PI
     nrm = hit.normal
+    conv = jnp.ones(n_lanes, bool)
 
     diffuse = jnp.zeros((n_lanes, 3), jnp.float32)
     use_nee = (
@@ -805,7 +834,8 @@ def _shade_lambertian_path(scene, cfg, rays, hit, factor, emit, state):
             tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
             tmax=dist - cfg.eta,
         )
-        blocked = trace_occluded(scene, cfg, sray)
+        blocked, c1 = trace_occluded(scene, cfg, sray, with_conv=True)
+        conv = conv & c1
         contrib = (
             brdf
             * vec.saturate(vec.dot(nrm, w_i))[..., None]
@@ -824,7 +854,8 @@ def _shade_lambertian_path(scene, cfg, rays, hit, factor, emit, state):
             tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
             tmax=jnp.full(n_lanes, 999999.0 - cfg.eta, jnp.float32),
         )
-        blocked = trace_occluded(scene, cfg, sray)
+        blocked, c1 = trace_occluded(scene, cfg, sray, with_conv=True)
+        conv = conv & c1
         contrib = brdf * vec.saturate(vec.dot(nrm, w_i))[..., None] * l_i
         if cfg.diffuse_factor:
             contrib = contrib * factor
@@ -846,6 +877,7 @@ def _shade_lambertian_path(scene, cfg, rays, hit, factor, emit, state):
             factor,
             emit,
             state,
+            conv,
         )
 
     factor_new = factor * brdf * PI
@@ -864,7 +896,7 @@ def _shade_lambertian_path(scene, cfg, rays, hit, factor, emit, state):
         tmax=jnp.full(n_lanes, cfg.tmax, jnp.float32),
     )
     emit_new = jnp.where(cont, False, emit)
-    return diffuse + ambient, new_rays, cont, factor_new, emit_new, state
+    return diffuse + ambient, new_rays, cont, factor_new, emit_new, state, conv
 
 
 def sampling_cosine(normal, state):
@@ -887,7 +919,7 @@ def _shade_holdout(scene, cfg, rays, hit, factor, state):
         tmin=jnp.full(n_lanes, cfg.eta, jnp.float32),
         tmax=jnp.full(n_lanes, cfg.tmax, jnp.float32),
     )
-    blocked = _mesh_only_anyhit(scene, cfg, aoray)
+    blocked, conv = _mesh_only_anyhit(scene, cfg, aoray)
     if scene.env is not None:
         env = tex.environment_map(scene.env, vec.normalize(rays.d, eps=1e-24))
     else:
@@ -895,7 +927,7 @@ def _shade_holdout(scene, cfg, rays, hit, factor, state):
             jnp.asarray(cfg.bg_color, jnp.float32), (n_lanes, 3)
         )
     color = vec.where(blocked, 0.0, env * factor)
-    return color, state
+    return color, state, conv
 
 
 def shade(scene, cfg, rays, hit, factor, emit, state):
@@ -903,7 +935,7 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
     masked branch blending. Only shader ids in ``cfg.possible_shaders`` emit
     code (each reference scene compiles only its own switch arms); absent
     ids fall through to the error color. Returns
-    (color, new_rays, cont, factor', emit', state')."""
+    (color, new_rays, cont, factor', emit', state', converged)."""
     n_lanes = hit.t.shape[0]
     z3 = jnp.zeros((n_lanes, 3), jnp.float32)
     sid = hit.shader
@@ -915,9 +947,11 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
     factor_out = factor
     emit_out = emit
     state_out = state
+    conv_out = jnp.ones(n_lanes, bool)
 
-    def merge(mask, c, nr, ct, f, e, s):
+    def merge(mask, c, nr, ct, f, e, s, cv=None):
         nonlocal color, new_rays, cont, factor_out, emit_out, state_out
+        nonlocal conv_out
         color = vec.where(mask, c, color)
         new_rays = Rays(
             o=vec.where(mask, nr.o, new_rays.o),
@@ -929,6 +963,8 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
         factor_out = vec.where(mask, f, factor_out)
         emit_out = jnp.where(mask, e, emit_out)
         state_out = jnp.where(mask, s, state_out)
+        if cv is not None:
+            conv_out = conv_out & (~mask | cv)
 
     albedo = _plane_albedo(scene, cfg, hit)
 
@@ -936,13 +972,14 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
     if SHADER_LAMBERTIAN in possible:
         m = sid == SHADER_LAMBERTIAN
         if cfg.mode == "path":
-            c, nr, ct, f, e, s = _shade_lambertian_path(
+            c, nr, ct, f, e, s, cv = _shade_lambertian_path(
                 scene, cfg, rays, hit, factor, emit, state
             )
-            merge(m, c, nr, ct, f, e, s)
+            merge(m, c, nr, ct, f, e, s, cv)
         else:
-            c = _shade_lambertian_direct(scene, cfg, rays, hit, albedo)
-            merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state)
+            c, cv = _shade_lambertian_direct(scene, cfg, rays, hit, albedo)
+            merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, state,
+                  cv)
 
     # Phong (1) — direct-mode shading model.
     if SHADER_PHONG in possible:
@@ -1004,10 +1041,10 @@ def shade(scene, cfg, rays, hit, factor, emit, state):
     # Holdout (8)
     if SHADER_HOLDOUT in possible:
         m = sid == SHADER_HOLDOUT
-        c, s = _shade_holdout(scene, cfg, rays, hit, factor, state)
-        merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, s)
+        c, s, cv = _shade_holdout(scene, cfg, rays, hit, factor, state)
+        merge(m, c, rays, jnp.zeros(n_lanes, bool), factor, emit, s, cv)
 
-    return color, new_rays, cont, factor_out, emit_out, state_out
+    return color, new_rays, cont, factor_out, emit_out, state_out, conv_out
 
 
 # ---------------------------------------------------------------------------
@@ -1044,7 +1081,7 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
     n = rays0.o.shape[0]
 
     def body(carry, _):
-        rays, result, factor, emit, done, state = carry
+        rays, result, factor, emit, done, bad, state = carry
         # Done lanes collapse their ray interval to empty so every
         # traversal engine's alive-culling skips them — without this, a
         # fixed-depth scan re-traces the full original wavefront at every
@@ -1052,6 +1089,7 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         rays = Rays(rays.o, rays.d, rays.tmin,
                     jnp.where(done, rays.tmin, rays.tmax))
         hit = trace_closest(scene, cfg, rays)
+        bad = bad | (~done & ~hit.converged)
 
         miss = ~hit.valid & ~done
         if cfg.env_light and scene.env is not None:
@@ -1066,9 +1104,10 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         done_next = done | miss
 
         live = hit.valid & ~done
-        color, new_rays, cont, factor2, emit2, state2 = shade(
+        color, new_rays, cont, factor2, emit2, state2, shade_conv = shade(
             scene, cfg, rays, hit, factor, emit, state
         )
+        bad = bad | (live & ~shade_conv)
         if cfg.firefly_clamp > 0.0:
             color = jnp.minimum(color, cfg.firefly_clamp)
         result = result + vec.where(live, color, 0.0)
@@ -1082,7 +1121,7 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         emit = jnp.where(live, emit2, emit)
         state = jnp.where(live, state2, state)
         done_next = done_next | (live & ~cont)
-        return (rays, result, factor, emit, done_next, state), None
+        return (rays, result, factor, emit, done_next, bad, state), None
 
     carry0 = (
         rays0,
@@ -1090,11 +1129,12 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         jnp.ones((n, 3), jnp.float32),
         jnp.ones(n, bool),  # emit starts true (hit_record_init)
         jnp.zeros(n, bool),
+        jnp.zeros(n, bool),  # bad: traversal truncated somewhere
         state0,
     )
     if _single_bounce(cfg) and cfg.max_depth >= 1:
         carry, _ = body(carry0, None)
-        return carry[1]
+        return _paint_bad(carry[1], carry[5])
     if cfg.loop == "while":
         def wcond(st):
             i, carry = st
@@ -1106,14 +1146,22 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
             carry, _ = body(carry, None)
             return i + 1, carry
 
-        _, (rays, result, factor, emit, done, state) = jax.lax.while_loop(
+        _, (rays, result, factor, emit, done, bad, state) = jax.lax.while_loop(
             wcond, wbody, (jnp.int32(0), carry0)
         )
-        return result
-    (rays, result, factor, emit, done, state), _ = jax.lax.scan(
+        return _paint_bad(result, bad)
+    (rays, result, factor, emit, done, bad, state), _ = jax.lax.scan(
         body, carry0, None, length=cfg.max_depth
     )
-    return result
+    return _paint_bad(result, bad)
+
+
+def _paint_bad(result, bad):
+    """Truncated-traversal lanes render the magenta error sentinel — the
+    loud-failure analog of the reference's deliberate hang on stack
+    underflow (bvh.wgsl:139-148): a clipped image is visibly wrong, never
+    silently plausible."""
+    return vec.where(bad, jnp.broadcast_to(ERROR_COLOR, result.shape), result)
 
 
 def render_sample(scene: Scene, cfg: SceneConfig):

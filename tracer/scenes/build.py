@@ -225,7 +225,7 @@ def build_oracle_scene(desc: SceneDescriptor):
         sc.planes.append(
             (np.array(p, np.float32), np.array(n, np.float32),
              np.array(tg, np.float32), np.array(bn, np.float32), sid,
-             np.array(bc, np.float32))
+             np.array(bc, np.float32), bool(txd))
         )
     for (v0, v1, v2, sh, bc) in desc.tris:
         sid = _resolve_static(sh, desc)
@@ -246,6 +246,16 @@ def build_oracle_scene(desc: SceneDescriptor):
         sc.light_indices = list(mesh.light_indices())
         sc.mesh_shader = _resolve_static(cfg.mesh_shader, desc)
         sc.use_vertex_normals = cfg.use_vertex_normals
+    if desc.texture:
+        t = _load_texture_cached(desc.texture, False)
+        if t is not None:
+            sc.texture_img = np.asarray(t.data)
+            sc.tex_mode = tex.TEX_DEFAULT
+    if desc.hdri:
+        e = _load_texture_cached(desc.hdri, desc.hdri_rgbe)
+        if e is not None:
+            sc.env_img = np.asarray(e.data)
+            sc.env_rgbe = e.kind == tex.ENV_RGBE
     return sc, cfg, dict(desc.camera)
 
 
