@@ -63,3 +63,55 @@ def test_image_export(tmp_path):
     assert os.path.getsize(png) > 0
     back = tio.read_pfm(pfm)
     assert np.allclose(back, lin)
+
+
+def test_live_param_change_no_recompile():
+    """The reference applies control-panel commands between frames without
+    rebuilding the pipeline (lib.rs:365-488); here every tunable is a
+    traced input, so changing camera constant or material selection must
+    reuse the compiled step (zero recompiles)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tracer.render import progressive as P
+    from tracer.scenes import build_scene, get_scene
+    from tracer.util import replace
+
+    desc = get_scene("W1 E6")
+    desc = dataclasses.replace(
+        desc, cfg=dataclasses.replace(desc.cfg, width=16, height=16)
+    )
+    scene, cfg = build_scene(desc)
+    state = P.step(scene, cfg, P.init_state(cfg))
+    n0 = P.step._cache_size()
+
+    scene2 = replace(
+        scene,
+        camera=replace(
+            scene.camera, constant=jnp.asarray(2.5, jnp.float32)
+        ),
+        uniforms=replace(
+            scene.uniforms, selection1=jnp.asarray(2, jnp.int32)
+        ),
+    )
+    state = P.step(scene2, cfg, P.init_state(cfg))
+    assert P.step._cache_size() == n0, "parameter change must not recompile"
+
+
+def test_interactive_cli_repl(tmp_path):
+    """Drive the --interactive REPL end-to-end over stdin."""
+    import subprocess
+    import sys
+
+    out_png = tmp_path / "live.png"
+    cmds = f"c 2.0\nm1 5\nr 2\nsave {out_png}\nq\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "tracer.cli", "--scene", "W1 E6",
+         "--width", "16", "--height", "16", "--interactive"],
+        input=cmds, capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out_png.exists()
+    assert "ms/frame" in r.stderr

@@ -193,34 +193,41 @@ def _frustum_cull(tb: TreeletBvh, bounds):
 
 
 def _sub_gates(tb, ids, sb, prune_sub):
-    """Per-(emission, sub-tile) conservative frustum gates, packed to a
-    16-bit mask per emission. One dense XLA pass over the top-K selected
-    blocks — this is what lets the Pallas kernel's hot loop run without a
-    single vector op for culled sub-tiles.
+    """Per-(emission, sub-tile) conservative frustum gates, derived from
+    quarter-block AABBs and packed to one 16-bit word per emission. One
+    dense XLA pass over the top-K selected blocks — the Pallas kernel's
+    hot loop then runs without a single vector op for culled work.
 
     ids: (ns, K); sb: (ns, NSUB, 16) packed sub bounds;
     prune_sub: (ns, NSUB) initial per-sub window top. -> (ns, K) i32.
     """
-    boxes = tb.box_table[jnp.clip(ids, 0, tb.box_table.shape[0] - 1)]
-    lo = boxes[:, :, None, 0:3]  # (ns, K, 1, 3)
-    hi = boxes[:, :, None, 3:6]
-    o_lo = sb[:, None, :, 0:3]  # (ns, 1, NSUB, 3)
-    o_hi = sb[:, None, :, 3:6]
-    d_lo = sb[:, None, :, 6:9]
-    d_hi = sb[:, None, :, 9:12]
-    near, far = interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi)  # (ns, K, NSUB)
-    tmin_lo = sb[:, None, :, 12]
-    alive = sb[:, None, :, 13] > 0.5
+    from tracer.accel.treelet import NQ
+
+    qb = tb.qbox[jnp.clip(ids, 0, tb.qbox.shape[0] - 1)]  # (ns, K, NQ, 6)
+    lo = qb[:, :, None, :, 0:3]  # (ns, K, 1, NQ, 3)
+    hi = qb[:, :, None, :, 3:6]
+    o_lo = sb[:, None, :, None, 0:3]  # (ns, 1, NSUB, 1, 3)
+    o_hi = sb[:, None, :, None, 3:6]
+    d_lo = sb[:, None, :, None, 6:9]
+    d_hi = sb[:, None, :, None, 9:12]
+    near, far = interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi)
+    tmin_lo = sb[:, None, :, None, 12]
+    alive = sb[:, None, :, None, 13] > 0.5
     ok = (
         (near <= far)
         & (far >= tmin_lo)
-        & (jnp.maximum(near, 0.0) < prune_sub[:, None, :])
+        & (jnp.maximum(near, 0.0) < prune_sub[:, None, :, None])
         & alive
-    )
+    )  # (ns, K, NSUB, NQ)
+    # One bit per sub-tile, set iff ANY quarter box passes — strictly
+    # tighter than a whole-block box test (the win of the quarter boxes)
+    # while keeping the kernel's gate read one SMEM word per visit (a
+    # per-sub nibble layout measured +10 ms/frame of scalar-load cost).
+    sub_ok = jnp.any(ok, axis=-1)  # (ns, K, NSUB)
     powers = jnp.arange(NSUB, dtype=jnp.int32)
     return jnp.sum(
-        ok.astype(jnp.int32) << powers[None, None, :], axis=-1
-    )
+        sub_ok.astype(jnp.int32) << powers[None, None, :], axis=-1
+    )  # (ns, K)
 
 
 def _dispatch(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit):

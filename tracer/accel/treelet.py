@@ -54,6 +54,9 @@ _INF = np.float32(3.0e38)
 BLOCK_COLS = 16
 
 
+NQ = 4  # quarter-blocks per block: Möller gating granularity (T/NQ tris)
+
+
 @pytree_dataclass(static=("depth", "T"))
 class TreeletBvh:
     top: jnp.ndarray  # (R, 8, 8) f32
@@ -61,6 +64,7 @@ class TreeletBvh:
     t_lo: jnp.ndarray  # (NT, 3) f32 treelet root AABB lo (flat phase A)
     t_hi: jnp.ndarray  # (NT, 3) f32 treelet root AABB hi
     box_table: jnp.ndarray  # (NT, 8) f32 [lo3, hi3, pad2] (super_hits kernel)
+    qbox: jnp.ndarray  # (NT, NQ, 6) f32 quarter-block AABBs (Morton-local)
     depth: int  # max top-tree descent depth (stack bound)
     T: int  # triangles per block
 
@@ -86,8 +90,10 @@ class TreeletHost:
 
 @jax.jit
 def assemble_blocks(verts, idx, pids, valid):
-    """Gather + edge/normal precompute for the (NT, 16, T) block table,
-    on device (one fused gather per vertex slot; see PROFILE.md finding 7)."""
+    """Gather + edge/normal precompute for the (NT, 16, T) block table and
+    the (NT, NQ, 6) quarter-block AABBs, on device (one fused gather per
+    vertex slot; see PROFILE.md finding 7)."""
+    NT, T = pids.shape
     tri = idx[pids]  # (NT, T, 3)
     v = verts[tri]  # (NT, T, 3, 3)
     v0 = v[:, :, 0]
@@ -106,7 +112,23 @@ def assemble_blocks(verts, idx, pids, valid):
         kpl,
         jnp.zeros_like(kpl),  # row 15: sublane padding
     ]
-    return jnp.stack(rows, axis=1)  # (NT, 16, T)
+    blocks = jnp.stack(rows, axis=1)  # (NT, 16, T)
+    # Quarter AABBs: consecutive slots are Morton-adjacent, so each T/NQ
+    # run is spatially local — the finer boxes gate the Möller work inside
+    # an already-DMA'd block at no extra traffic.
+    vq = v.reshape(NT, NQ, T // NQ, 3, 3)
+    vmask = valid.reshape(NT, NQ, T // NQ, 1, 1)
+    qlo = jnp.min(jnp.where(vmask, vq, jnp.float32(3e38)), axis=(2, 3))
+    qhi = jnp.max(jnp.where(vmask, vq, jnp.float32(-3e38)), axis=(2, 3))
+    # Empty quarters (partial blocks) collapse to a far point box, NOT the
+    # +/-3e38 sentinels: those overflow the interval slab products to inf
+    # and an inverted-infinite box *passes* the gate, spuriously gating
+    # every sub-tile against every partial block (measured +11 ms/frame).
+    empty = ~jnp.any(valid.reshape(NT, NQ, T // NQ), axis=-1)  # (NT, NQ)
+    far_pt = jnp.float32(1.0e30)
+    qlo = jnp.where(empty[..., None], far_pt, qlo)
+    qhi = jnp.where(empty[..., None], far_pt, qhi)
+    return blocks, jnp.concatenate([qlo, qhi], axis=-1)  # (NT, NQ, 6)
 
 
 def from_host(
@@ -120,7 +142,7 @@ def from_host(
         jnp.arange(T, dtype=jnp.int32)[None, :]
         < jnp.asarray(host.counts, jnp.int32)[:, None]
     )
-    blocks = assemble_blocks(
+    blocks, qbox = assemble_blocks(
         jnp.asarray(verts_dev, jnp.float32), jnp.asarray(idx_dev, jnp.int32),
         pids, valid,
     )
@@ -130,6 +152,7 @@ def from_host(
         t_lo=jnp.asarray(host.t_lo, jnp.float32),
         t_hi=jnp.asarray(host.t_hi, jnp.float32),
         box_table=jnp.asarray(host.box_table, jnp.float32),
+        qbox=qbox,
         depth=int(host.depth),
         T=T,
     )

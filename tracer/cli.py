@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the render into DIR",
     )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="REPL mode: re-render on parameter commands with zero "
+        "recompiles (the reference's live command loop, lib.rs:365-488)",
+    )
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--out-pfm", default=None, help="output PFM (linear float)")
     p.add_argument("--out-npz", default=None, help="output NPZ (linear float)")
@@ -70,6 +75,124 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-every", type=float, default=5.0,
                    help="seconds between render-stat prints (0 = off)")
     return p
+
+
+def interactive_loop(scene, cfg, args) -> int:
+    """Live render loop: read commands from stdin, mutate the *traced*
+    scene pytree, re-render without recompiling.
+
+    The reference drains a command channel between frames
+    (``src/lib.rs:365-488``); here every tunable the control panel exposes
+    is a traced array input of the compiled step, so a change is a new
+    pytree, not a new program. Commands:
+
+      c <constant>        camera focal constant (0.1-10)
+      m1 <id> / m2 <id>   sphere / other material selection (0-8)
+      move <wasd...>      camera controller ticks (camera.rs:36-112)
+      uv <su> <sv>        texture uv scale
+      tex <mode>          sampler mode 0-3
+      r [n]               render n more progressive samples (default
+                          --samples); state accumulates
+      reset               clear the accumulator
+      save <path.png>     write current image
+      q                   quit
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracer import io as tio
+    from tracer.render import progressive as P
+    from tracer.util import replace
+
+    state = P.init_state(cfg)
+    compiles_before = None
+
+    def render(n_more):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n_more):
+            state = P.step(scene, cfg, state)
+        state.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        print(
+            f"[cli] {n_more} sample(s) in {dt:.3f}s "
+            f"({dt / max(n_more, 1) * 1e3:.1f} ms/frame), "
+            f"iteration={int(state.iteration)}",
+            file=sys.stderr,
+        )
+
+    render(args.samples)
+    print("[cli] interactive: c/m1/m2/move/uv/tex/r/reset/save/q",
+          file=sys.stderr)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, rest = parts[0], parts[1:]
+        try:
+            if cmd == "q":
+                break
+            elif cmd == "c":
+                cam = replace(
+                    scene.camera,
+                    constant=jnp.asarray(float(rest[0]), jnp.float32),
+                )
+                scene = replace(scene, camera=cam)
+                state = P.init_state(cfg)
+                render(args.samples)
+            elif cmd in ("m1", "m2"):
+                field = "selection1" if cmd == "m1" else "selection2"
+                u = replace(
+                    scene.uniforms,
+                    **{field: jnp.asarray(int(rest[0]), jnp.int32)},
+                )
+                scene = replace(scene, uniforms=u)
+                state = P.init_state(cfg)
+                render(args.samples)
+            elif cmd == "move":
+                from tracer.render.controller import CameraController
+
+                scene = replace(
+                    scene,
+                    camera=CameraController().run(scene.camera, rest[0]),
+                )
+                state = P.init_state(cfg)
+                render(args.samples)
+            elif cmd == "uv":
+                u = replace(
+                    scene.uniforms,
+                    uv_scale=jnp.asarray(
+                        [float(rest[0]), float(rest[1])], jnp.float32
+                    ),
+                )
+                scene = replace(scene, uniforms=u)
+                state = P.init_state(cfg)
+                render(args.samples)
+            elif cmd == "tex":
+                u = replace(
+                    scene.uniforms,
+                    use_texture=jnp.asarray(int(rest[0]), jnp.int32),
+                )
+                scene = replace(scene, uniforms=u)
+                state = P.init_state(cfg)
+                render(args.samples)
+            elif cmd == "r":
+                render(int(rest[0]) if rest else args.samples)
+            elif cmd == "reset":
+                state = P.init_state(cfg)
+                print("[cli] accumulator cleared", file=sys.stderr)
+            elif cmd == "save":
+                tio.write_png(rest[0], P.image(state, cfg))
+                print(f"[cli] wrote {rest[0]}", file=sys.stderr)
+            else:
+                print(f"[cli] unknown command: {cmd}", file=sys.stderr)
+        except (ValueError, IndexError) as e:
+            print(f"[cli] bad command {line.strip()!r}: {e}", file=sys.stderr)
+    if args.out:
+        tio.write_png(args.out, P.image(state, cfg))
+        print(f"[cli] wrote {args.out}", file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -141,6 +264,9 @@ def main(argv=None) -> int:
         state = P.load_checkpoint(args.checkpoint, cfg)
         print(f"[cli] resumed at iteration {int(state.iteration)}",
               file=sys.stderr)
+
+    if args.interactive:
+        return interactive_loop(scene, cfg, args)
 
     import contextlib
 

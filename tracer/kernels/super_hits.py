@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tracer.accel.treelet import NQ
 from tracer.kernels.treelet_hits import _interpret, _moller_tile, _INF
 
 SUB = 128  # rays per sub-tile (8x16 pixels)
@@ -94,6 +95,7 @@ def _kernel(
         k, gub = carry
         return (k < n) & (enear_ref[0, 0, k] < gub)
 
+
     def body(carry):
         k, _gub = carry
 
@@ -102,12 +104,18 @@ def _kernel(
             dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
 
         dma(k % NBUF, k).wait()
-        blk = blk_s[k % NBUF]  # (16, T)
-        gm = gm_ref[0, 0, k]
         ek = enear_ref[0, 0, k]
 
+        blk = blk_s[k % NBUF]  # (16, T)
+        gm = gm_ref[0, 0, k]
         for s in range(NSUB):
-
+            # Bit s: sub-tile s may intersect the block (quarter-AABB
+            # tightened in XLA). Quarter-granularity *testing* in-kernel
+            # measured slower (22-24 ms vs 13: extra branches + small
+            # (128, T/4) ops cost more than the culled work), as did a
+            # per-sub nibble gate layout (16 SMEM loads/visit, +10 ms):
+            # one gate word per visit + whole-block Möller is the
+            # measured optimum.
             @pl.when(((gm >> s) & 1 != 0) & (ek < ub_smem[s]))
             def _(s=s):
                 rt = rt_s[s * SUB : (s + 1) * SUB, :]
@@ -152,8 +160,9 @@ def hits2(tb, eids, enear, en, gatemask, o, d, tmin, best_t, best_pid,
     """Super-tile streaming hits; emissions pre-gated per sub-tile.
 
     o, d: (n_super, SUPER, 3); tmin/best_t/best_pid: (n_super, SUPER);
-    eids/enear: (n_super, K) near-ordered; gatemask: (n_super, K) i32 with
-    bit s set iff sub-tile s may intersect that block.
+    eids/enear: (n_super, K) near-ordered; gatemask: (n_super, K) i32,
+    bit s set iff sub-tile s may intersect that block (quarter-AABB
+    tightened, see ``tracer.accel.flat._sub_gates``).
     """
     n_super = tmin.shape[0]
     T = tb.T

@@ -289,14 +289,15 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             mat = row[:, 18].astype(jnp.int32)
         else:
             # Differentiable path: gather vertices so gradients reach
-            # scene.geom.vertices / normals.
-            idx = scene.geom.indices[tri_c]
-            v0 = scene.geom.vertices[idx[:, 0]]
-            v1 = scene.geom.vertices[idx[:, 1]]
-            v2 = scene.geom.vertices[idx[:, 2]]
-            n0 = scene.geom.normals[idx[:, 0]]
-            n1 = scene.geom.normals[idx[:, 1]]
-            n2 = scene.geom.normals[idx[:, 2]]
+            # scene.geom.vertices / normals. One batched (N, 3)-row gather
+            # per table instead of six scalar-indexed ones — XLA fuses the
+            # scattered variant badly on TPU (PROFILE.md finding 7), and
+            # the transpose (scatter-add) inherits the same shape.
+            idx = scene.geom.indices[tri_c]  # (N, 3)
+            vtx = scene.geom.vertices[idx]  # (N, 3, 3)
+            nrm3 = scene.geom.normals[idx]
+            v0, v1, v2 = vtx[:, 0], vtx[:, 1], vtx[:, 2]
+            n0, n1, n2 = nrm3[:, 0], nrm3[:, 1], nrm3[:, 2]
             mat = scene.geom.mat_ids[tri_c]
         # Differentiable re-derivation of t/beta/gamma from the winning id.
         t_d, beta, gamma, _ = intersect.triangle_t(
