@@ -35,14 +35,18 @@ def main():
 
     t0 = time.perf_counter()
     scene, cfg = build_scene(desc)
-    log(f"scene build (mesh gen + LBVH): {time.perf_counter() - t0:.2f} s")
+    jax.block_until_ready(scene.tb.blocks)
+    build_s = time.perf_counter() - t0
+    log(f"scene build: {build_s:.2f} s "
+        "(host products disk-cached; cold adds mesh gen + LBVH + cut)")
     log(f"triangles: {scene.geom.indices.shape[0]}")
 
     state = P.init_state(cfg)
     t0 = time.perf_counter()
     state = P.step(scene, cfg, state)
     jax.block_until_ready(state.accum)
-    log(f"first frame (compile + run): {time.perf_counter() - t0:.2f} s")
+    first_frame_s = time.perf_counter() - t0
+    log(f"first frame (compile + run): {first_frame_s:.2f} s")
 
     # Timed frames.
     frames = 20
@@ -89,6 +93,8 @@ def main():
                 "vs_baseline": rays_per_s / baseline,
                 "fwdbwd_rays_per_second": fwdbwd,
                 "ms_per_frame": ms_per_frame,
+                "scene_build_seconds": build_s,
+                "first_frame_seconds": first_frame_s,
             }
         )
     )

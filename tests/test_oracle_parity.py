@@ -211,3 +211,24 @@ def test_to_display_guards():
     disp = np.asarray(I.to_display(acc, cfg))
     assert np.allclose(disp[0], 0.5**1.5, atol=1e-6)
     assert np.allclose(disp[1], [0.7, 0.0, 0.7])  # magenta sentinel
+
+
+def test_bsp_fast_execution_matches_walk():
+    """BSP-configured scenes execute through the treelet engines by
+    default (cfg.bsp_execution == "fast"); the faithful per-ray BSP walk
+    must produce the same image — closest-hit is traversal-independent.
+    This is the parity gate for routing the reference's default w6-w8
+    engine (res/shaders/bsp.wgsl) through the TPU-fast path."""
+    desc = _small(get_scene("W6 E1 Teapot"), 16, 16)
+    scene_f, cfg_f = build_scene(desc)
+    assert cfg_f.traversal == "bsp" and scene_f.tb is not None
+    img_fast = np.asarray(I.render_sample(scene_f, cfg_f)).reshape(16, 16, 3)
+
+    desc_w = dataclasses.replace(
+        desc, cfg=dataclasses.replace(desc.cfg, bsp_execution="walk")
+    )
+    scene_w, cfg_w = build_scene(desc_w)
+    img_walk = np.asarray(I.render_sample(scene_w, cfg_w)).reshape(16, 16, 3)
+    # frac < 1: equal-t tie-breaking between engines may differ on shared
+    # edges; everything else must match exactly.
+    assert_close(img_fast, img_walk, atol=1e-5, frac=0.995)

@@ -112,6 +112,15 @@ class SceneConfig:
     firefly_clamp: float = 0.0  # min(shade, clamp) when > 0 (w8e3.wgsl:250)
     gamma: float = 1.0  # display transform exponent (pow(color, gamma))
     traversal: str = "bvh"  # "brute" | "bvh" | "bsp"
+    # How "bsp" scenes execute on TPU. The reference's default engine for
+    # w6-w8 is the spliced BSP library (res/shaders/bsp.wgsl:10-81); its
+    # per-ray gather walk is exactly the shape the TPU is worst at
+    # (PROFILE.md finding 1), so "fast" keeps the BSP tree as the built,
+    # tested structure but serves rendering through the treelet engines —
+    # closest-hit results are traversal-independent (parity-gated in
+    # tests/test_oracle_parity.py). "walk" forces the faithful per-ray
+    # BSP traversal (tracer.accel.bsp).
+    bsp_execution: str = "fast"
     use_vertex_normals: bool = True  # interpolate vs face normal
     mesh_shader: int = 0  # shader for trimesh hits; FROM_SELECTION1 for UI
     env_light: bool = False  # miss -> environment map (vs bg color)

@@ -173,6 +173,22 @@ def build_scene(desc: SceneDescriptor):
             from tracer.accel import bsp as bsp_mod
 
             bsp = jax.tree.map(jnp.asarray, bsp_mod.build_for_mesh(mesh))
+            if cfg.bsp_execution == "fast":
+                # BSP scenes execute through the treelet engines (the
+                # per-ray BSP walk is the faithful-but-slow path); the
+                # BSP tree above stays built + queryable for parity.
+                from tracer.accel import treelet as treelet_mod
+                from tracer.scenes import cache as disk_cache
+
+                fp = disk_cache.mesh_fingerprint(mesh)
+                host = disk_cache.load_treelet_host(fp, desc.bvh_leaf, 1024)
+                if host is None:
+                    binary = lbvh.build_for_mesh(
+                        mesh, max_prims=desc.bvh_leaf
+                    )
+                    host = treelet_mod.build_host(binary, T=1024)
+                    disk_cache.save_treelet_host(fp, desc.bvh_leaf, host)
+                tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
 
     env = _load_texture_cached(desc.hdri, desc.hdri_rgbe) if desc.hdri else None
     texture = _load_texture_cached(desc.texture, False) if desc.texture else None
