@@ -86,8 +86,15 @@ def bsp_build(mesh, max_objects):
 
 def treelet_pack(mesh, binary):
     def f(t):
-        treelet.build(binary, mesh.vertices, mesh.indices)
-        t.mark("treelet_pack")
+        host = treelet.build_host(binary)
+        t.mark("treelet_cut_host")
+        tb = treelet.from_host(
+            host,
+            np.asarray(mesh.vertices, np.float32),
+            mesh.indices.astype(np.int32),
+        )
+        jax.block_until_ready(tb.blocks)
+        t.mark("block_gather_device")
     return f
 
 

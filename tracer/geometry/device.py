@@ -140,13 +140,15 @@ def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.nda
     ``u32::MAX`` sentinel prepend (``storage_mesh.rs:330-332``) is dropped;
     the light list holds exactly the emissive-triangle ids.
     """
-    mat64 = np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(
-        np.int64
+    # Cast on host before upload: shipping int64 intermediates doubles
+    # the index-buffer transfer over the device link.
+    mat32 = np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(
+        np.int32
     )
     verts_d = jnp.asarray(np.asarray(mesh.vertices, np.float32))
     norms_d = jnp.asarray(np.asarray(mesh.normals, np.float32))
-    idx_d = jnp.asarray(mesh.indices.astype(np.int64), jnp.int32)
-    mat_d = jnp.asarray(mat64, jnp.int32)
+    idx_d = jnp.asarray(mesh.indices.astype(np.int32))
+    mat_d = jnp.asarray(mat32)
     geom = GeometryBuffers(
         vertices=verts_d,
         normals=norms_d,

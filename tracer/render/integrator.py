@@ -306,15 +306,18 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             mat = row[:, 18].astype(jnp.int32)
         else:
             # Differentiable path: gather vertices so gradients reach
-            # scene.geom.vertices / normals. One batched (N, 3)-row gather
-            # per table instead of six scalar-indexed ones — XLA fuses the
-            # scattered variant badly on TPU (PROFILE.md finding 7), and
-            # the transpose (scatter-add) inherits the same shape.
+            # scene.geom.vertices / normals. Vertices and normals are
+            # stacked into one (V, 6) table so the bounce pays ONE
+            # per-corner gather — and, critically, its AD transpose is
+            # ONE scatter-add instead of two (the scatters dominate the
+            # backward: ~25 ms per table per bounce on dragon).
             idx = scene.geom.indices[tri_c]  # (N, 3)
-            vtx = scene.geom.vertices[idx]  # (N, 3, 3)
-            nrm3 = scene.geom.normals[idx]
-            v0, v1, v2 = vtx[:, 0], vtx[:, 1], vtx[:, 2]
-            n0, n1, n2 = nrm3[:, 0], nrm3[:, 1], nrm3[:, 2]
+            vn = jnp.concatenate(
+                [scene.geom.vertices, scene.geom.normals], axis=-1
+            )  # (V, 6)
+            rows = vn[idx]  # (N, 3, 6)
+            v0, v1, v2 = rows[:, 0, 0:3], rows[:, 1, 0:3], rows[:, 2, 0:3]
+            n0, n1, n2 = rows[:, 0, 3:6], rows[:, 1, 3:6], rows[:, 2, 3:6]
             mat = scene.geom.mat_ids[tri_c]
         # Differentiable re-derivation of t/beta/gamma from the winning id.
         t_d, beta, gamma, _ = intersect.triangle_t(
