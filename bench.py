@@ -25,20 +25,24 @@ def main():
 
     from tracer.render import progressive as P
     from tracer.scenes import build_scene, get_scene
+    from tracer.util import self_test
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    log(f"backend: {self_test()}")  # adapter probe (gpu_handles.rs:72-92)
 
     desc = get_scene("Project: Dragon")
     cfg = desc.cfg
     log(f"scene: {desc.name} {cfg.width}x{cfg.height} traversal={cfg.traversal}")
 
+    timings = {}
     t0 = time.perf_counter()
-    scene, cfg = build_scene(desc)
+    scene, cfg = build_scene(desc, timings=timings)
     jax.block_until_ready(scene.tb.blocks)
     build_s = time.perf_counter() - t0
     log(f"scene build: {build_s:.2f} s "
         "(host products disk-cached; cold adds mesh gen + LBVH + cut)")
+    log("  build stages: " + ", ".join(
+        f"{k}={v:.3f}s" for k, v in timings.items()
+    ) + f", block_ready={build_s - timings.get('total', 0.0):.3f}s")
     log(f"triangles: {scene.geom.indices.shape[0]}")
 
     state = P.init_state(cfg)
@@ -83,6 +87,46 @@ def main():
     except Exception as e:  # keep the headline metric robust
         log(f"fwdbwd bench failed: {e!r}")
 
+    # Path-tracer bench (VERDICT r4 item 5): W8E3 Cornell 512^2, path mode,
+    # depth 10 — the BASELINE config #3 / dryrun flagship. ms/frame and
+    # grad-step ms in the same JSON line.
+    path_ms = path_grad_ms = None
+    try:
+        pdesc = get_scene("W8 E3 Absorption")
+        pcfg = pdesc.cfg
+        ptimings = {}
+        pscene, pcfg = build_scene(pdesc, timings=ptimings)
+        pstate = P.init_state(pcfg)
+        t0 = time.perf_counter()
+        pstate = P.step(pscene, pcfg, pstate)
+        jax.block_until_ready(pstate.accum)
+        log(f"path first frame (compile + run): "
+            f"{time.perf_counter() - t0:.2f} s "
+            f"(build {ptimings.get('total', 0.0):.2f} s)")
+        pframes = 10
+        t0 = time.perf_counter()
+        for _ in range(pframes):
+            pstate = P.step(pscene, pcfg, pstate)
+        jax.block_until_ready(pstate.accum)
+        path_ms = (time.perf_counter() - t0) / pframes * 1e3
+        log(f"path mode ({pdesc.name} {pcfg.width}x{pcfg.height} "
+            f"depth {pcfg.max_depth}): {path_ms:.2f} ms/frame")
+
+        from tracer.diff import grad as G
+
+        pgcfg = dataclasses.replace(pcfg, loop="scan")
+        ptarget = jax.numpy.zeros((pcfg.height * pcfg.width, 3))
+        pg = G.grad_scene(pscene, pgcfg, ptarget)
+        jax.block_until_ready(pg.camera.eye)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            pg = G.grad_scene(pscene, pgcfg, ptarget)
+        jax.block_until_ready(pg.camera.eye)
+        path_grad_ms = (time.perf_counter() - t0) / 3 * 1e3
+        log(f"path grad step: {path_grad_ms:.1f} ms")
+    except Exception as e:
+        log(f"path bench failed: {e!r}")
+
     baseline = 45.0e6  # reference BVH dragon (journal/src/project.md 4.2.2)
     print(
         json.dumps(
@@ -95,6 +139,8 @@ def main():
                 "ms_per_frame": ms_per_frame,
                 "scene_build_seconds": build_s,
                 "first_frame_seconds": first_frame_s,
+                "path_ms_per_frame": path_ms,
+                "path_grad_ms": path_grad_ms,
             }
         )
     )

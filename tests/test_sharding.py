@@ -61,36 +61,55 @@ def test_sharded_gradient_psum(mesh):
     assert np.allclose(gd_s, gd_m, atol=1e-5)
 
 
-def test_weak_scaling_harness():
-    """1 -> 2 device weak scaling through the bench_scaling children.
-
-    This host has few cores, so the virtual-device proxy can't meet the
-    real >= 85% ICI target (SCALING.md documents the caveat); assert a
-    generous sanity bound and that the harness machinery works end to end.
-    """
-    import json
+def test_sharded_hlo_collective_structure(mesh):
+    """SCALING.md section 2's claim, enforced at compile time (the
+    replacement for a machine-dependent weak-scaling timing gate): at a
+    production tile shape (shard rows a multiple of 32) the compiled
+    sharded forward step contains ZERO inter-device collectives — scene
+    and accel buffers are replicated, pixels are device-local — and the
+    sharded gradient step's backward is psum-only (the all-reduce of
+    replicated scene-parameter cotangents), with no gathers/permutes."""
     import os
-    import subprocess
     import sys
 
-    results = {}
-    for ndev in (1, 2):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (
-            f"--xla_force_host_platform_device_count={ndev}"
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench_scaling import _COLLECTIVES, collective_census
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # 64x32 = 2048 rays -> 256 rows/device on the 8-device mesh.
+    scene, cfg = build_scene(_desc(64, 32))
+    scene_r = S.replicate_scene(scene, mesh)
+    state = S.shard_state(P.init_state(cfg), mesh)
+    step = S.sharded_step(mesh, donate=False)
+    fwd_hlo = step.lower(scene_r, cfg, state).compile().as_text()
+    fwd = collective_census(fwd_hlo)
+    # Loop-control predicate all-reduces (a replicated while_loop `any`
+    # over sharded lanes) are latency-only scalars; the claim under test
+    # is zero *data* movement: no gathers/permutes and no all-reduce
+    # payload beyond control scalars.
+    for k in ("all-gather", "collective-permute", "all-to-all",
+              "reduce-scatter"):
+        assert fwd[k] == 0, (
+            f"forward step must move no data between devices, got {fwd}"
         )
-        env.pop("TRACER_TEST_PLATFORM", None)
-        out = subprocess.run(
-            [sys.executable, "bench_scaling.py", "--child",
-             "--rows-per-device=16", "--width=64", "--samples=2"],
-            env=env, capture_output=True, text=True, timeout=600,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        rows = [json.loads(l.split(" ", 1)[1])
-                for l in out.stdout.splitlines()
-                if l.startswith("CHILD_RESULT")]
-        assert rows, out.stderr[-1500:]
-        results[ndev] = rows[0]["ms"]
-    eff = results[1] / results[2]
-    assert eff > 0.35, f"2-device weak-scaling efficiency {eff:.2f}"
+    assert fwd["payload_bytes"] <= 16, (
+        f"forward all-reduce payload must be control scalars only, "
+        f"got {fwd}"
+    )
+
+    from tracer.diff.grad import grad_scene
+
+    target = jax.device_put(
+        jnp.zeros((cfg.height * cfg.width, 3), jnp.float32),
+        NamedSharding(mesh, PartitionSpec(S.RAY_AXIS, None)),
+    )
+    grad_hlo = grad_scene.lower(scene_r, cfg, target).compile().as_text()
+    g = collective_census(grad_hlo)
+    assert g["all-reduce"] >= 1, f"gradient psum missing: {g}"
+    for k in ("all-gather", "collective-permute", "all-to-all",
+              "reduce-scatter"):
+        assert g[k] == 0, f"backward must be psum-only, got {g}"

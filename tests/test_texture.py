@@ -103,3 +103,27 @@ def test_env_map_poles_and_seam():
     # must land half a texture apart, not adjacent.
     u_plus_z = 0.5 * (1.0 + np.arctan2(0.0, -1.0) / np.pi)
     assert abs(u_plus_z - 1.0) < 1e-6
+
+
+def test_rgbe_png_fixture_end_to_end():
+    """The checked-in .hdr.png fixture exercises the real w9e2 asset path
+    (load_rgbe_png -> ENV_RGBE -> environment_map lat-long sampling),
+    which the reference mount's missing luxo_pxr_campus.hdr.png otherwise
+    leaves untested (VERDICT r4 nit)."""
+    import os
+
+    import jax.numpy as jnp
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "tiny_env.hdr.png")
+    tex = T.load_rgbe_png(p)
+    assert tex.kind == T.ENV_RGBE
+    assert tex.data.shape == (8, 16, 4)
+    # Decode formula check on a known texel: row 7 stores blue ~4.0.
+    texel = np.asarray(tex.data)[7, 0]
+    blue = texel[2] * 2.0 ** (texel[3] * 255.0 - 128.0)
+    assert abs(blue - 4.0) < 0.05
+    # Lat-long sampling: -y looks at v=1 (bottom row) where blue ~4.
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    rgb = np.asarray(T.environment_map(tex, d))[0]
+    assert rgb[2] > 2.0  # HDR value survived the png round trip

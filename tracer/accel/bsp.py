@@ -367,9 +367,12 @@ def _traverse(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf, any_hit)
     )
     out = jax.lax.while_loop(cond, body, state)
     best_t, best_id = out[8], out[9]
+    # Loud truncation (same contract as flat/packet/wide): a lane still
+    # active when the iteration cap tripped has an untrustworthy result.
+    conv = out[1] < 0
     if any_hit:
-        return best_id >= 0
-    return best_t, best_id
+        return best_id >= 0, conv
+    return best_t, best_id, conv
 
 
 CHUNK = 16384  # wavefront chunk: lax.map retires chunks independently, so
@@ -402,17 +405,29 @@ def _chunked(rays: Rays, fn):
     return jax.tree.map(lambda x: x.reshape(-1)[:n], out)
 
 
-def bsp_closest_hit(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf: int = 8):
-    """First-leaf-hit traversal (``intersect_trimesh``)."""
-    return _chunked(
+def bsp_closest_hit(rays: Rays, bsp: BspBuffers, vertices, indices,
+                    max_leaf: int = 8, with_conv: bool = False):
+    """First-leaf-hit traversal (``intersect_trimesh``).
+
+    ``with_conv=True`` additionally returns a per-lane bool, False where
+    the _MAX_ITERS cap truncated the walk (the reference hangs the GPU on
+    traversal overflow, bvh.wgsl:139-148; we flag instead)."""
+    t, pid, conv = _chunked(
         rays,
         lambda r: _traverse(r, bsp, vertices, indices, max_leaf, any_hit=False),
     )
+    if with_conv:
+        return t, pid, conv
+    return t, pid
 
 
-def bsp_any_hit(rays: Rays, bsp: BspBuffers, vertices, indices, max_leaf: int = 8):
+def bsp_any_hit(rays: Rays, bsp: BspBuffers, vertices, indices,
+                max_leaf: int = 8, with_conv: bool = False):
     """Occlusion traversal (``intersect_trimesh_immediate_return``)."""
-    return _chunked(
+    blocked, conv = _chunked(
         rays,
         lambda r: _traverse(r, bsp, vertices, indices, max_leaf, any_hit=True),
     )
+    if with_conv:
+        return blocked, conv
+    return blocked

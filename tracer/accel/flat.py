@@ -28,6 +28,7 @@ packet walk (``tracer.accel.packet``) instead.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -41,6 +42,24 @@ _INF = jnp.float32(3.0e38)
 _BIG = jnp.float32(1.0e18)  # indefinite-interval sentinel (safe in products)
 K_EMIT = 256
 MAX_ROUNDS = 4096
+
+# Quarter-block emission granularity (TRACER_QEMIT=1). Measured on the
+# dragon (r5): admits HALF the Möller work of block granularity (22.5k vs
+# 46.2k gated sub-quarter pairs) yet runs slower (14.2 vs 12.0 ms) — the
+# ~1 us per-visit fixed cost of 4x more stream visits exceeds the culled
+# compute, and contiguous-vs-strided DMA / bit-vs-unrolled sub loops are
+# all within noise. Kept as a measured A/B lever, default off.
+QUARTER_EMIT = os.environ.get("TRACER_QEMIT", "0") != "0"
+
+# Two-phase closest-hit stream (TRACER_2PHASE=1): phase 1 consumes the
+# nearest PHASE1_EMITS emissions, then the tail is RE-GATED against the
+# per-sub-tile best-t bounds phase 1 discovered. Measured SLOWER on the
+# dragon (block: 13.9 vs 12.0 ms; quarter: 24 ms): the in-kernel
+# monotone break already skips nearly everything the re-gate would kill,
+# so the second kernel launch + re-gate pass is pure overhead. Kept as a
+# measured A/B lever, default off; TRACER_P1M overrides the budget.
+TWO_PHASE = os.environ.get("TRACER_2PHASE", "0") != "0"
+PHASE1_EMITS = int(os.environ.get("TRACER_P1M", "48"))
 
 # Super-tile pixel geometry: 4x4 grid of 8x16 sub-tiles.
 SUP_H, SUP_W = 32, 64
@@ -192,17 +211,13 @@ def _frustum_cull(tb: TreeletBvh, bounds):
     return ok, jnp.where(ok, jnp.maximum(near, 0.0), _INF)
 
 
-def _sub_gates(tb, ids, sb, prune_sub):
-    """Per-(emission, sub-tile) conservative frustum gates, derived from
-    quarter-block AABBs and packed to one 16-bit word per emission. One
-    dense XLA pass over the top-K selected blocks — the Pallas kernel's
-    hot loop then runs without a single vector op for culled work.
+def _sub_gates_raw(tb, ids, sb, prune_sub):
+    """Per-(emission, sub-tile, quarter-block) conservative frustum tests.
 
     ids: (ns, K); sb: (ns, NSUB, 16) packed sub bounds;
-    prune_sub: (ns, NSUB) initial per-sub window top. -> (ns, K) i32.
+    prune_sub: (ns, NSUB) initial per-sub window top.
+    -> ok (ns, K, NSUB, NQ) bool, near (ns, K, NSUB, NQ) f32 (>= 0).
     """
-    from tracer.accel.treelet import NQ
-
     qb = tb.qbox[jnp.clip(ids, 0, tb.qbox.shape[0] - 1)]  # (ns, K, NQ, 6)
     lo = qb[:, :, None, :, 0:3]  # (ns, K, 1, NQ, 3)
     hi = qb[:, :, None, :, 3:6]
@@ -213,33 +228,159 @@ def _sub_gates(tb, ids, sb, prune_sub):
     near, far = interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi)
     tmin_lo = sb[:, None, :, None, 12]
     alive = sb[:, None, :, None, 13] > 0.5
+    near = jnp.maximum(near, 0.0)
     ok = (
         (near <= far)
         & (far >= tmin_lo)
-        & (jnp.maximum(near, 0.0) < prune_sub[:, None, :, None])
+        & (near < prune_sub[:, None, :, None])
         & alive
     )  # (ns, K, NSUB, NQ)
+    return ok, near
+
+
+def _sub_gates(tb, ids, sb, prune_sub, with_near=False):
+    """Per-(emission, sub-tile) gates packed to one 16-bit word per
+    emission (block-granularity emission mode). One dense XLA pass over
+    the top-K selected blocks — the Pallas kernel's hot loop then runs
+    without a single vector op for culled work. -> (ns, K) i32.
+
+    ``with_near=True`` additionally returns the tightened per-emission
+    conservative entry distance: min over gated (sub, quarter) pairs of
+    the per-sub quarter near — a strictly larger (= better-breaking)
+    bound than the super-tile-level treelet-box near, for free since the
+    per-pair nears are already computed for the gates.
+    """
+    ok, near = _sub_gates_raw(tb, ids, sb, prune_sub)
     # One bit per sub-tile, set iff ANY quarter box passes — strictly
     # tighter than a whole-block box test (the win of the quarter boxes)
     # while keeping the kernel's gate read one SMEM word per visit (a
     # per-sub nibble layout measured +10 ms/frame of scalar-load cost).
     sub_ok = jnp.any(ok, axis=-1)  # (ns, K, NSUB)
     powers = jnp.arange(NSUB, dtype=jnp.int32)
-    return jnp.sum(
+    gm = jnp.sum(
         sub_ok.astype(jnp.int32) << powers[None, None, :], axis=-1
     )  # (ns, K)
+    if not with_near:
+        return gm
+    near_tight = jnp.min(
+        jnp.where(ok, near, _INF), axis=(2, 3)
+    )  # (ns, K)
+    return gm, near_tight
 
 
-def _dispatch(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit):
+def _quarter_emissions(tb, ids, enear, sb, prune_sub):
+    """Expand block emissions to near-sorted quarter-block emissions.
+
+    The super-level cull stays at treelet granularity (cheap dense pass
+    over NT blocks); the emission list the kernel consumes is refined to
+    quarter-blocks (T/NQ Morton-adjacent triangles) with per-sub gate
+    bits and per-quarter conservative entry distances. This is the
+    structural redundancy cut of PROFILE finding 11: the kernel's Möller
+    dispatch shrinks 4x in granularity while its per-visit hot loop is
+    unchanged (one SMEM gate word + one scalar entry bound per visit) —
+    in-kernel quarter dispatch measured *slower* (22-24 ms vs 13).
+
+    ids/enear: (ns, K) block emissions from the super cull.
+    -> qids, qnear, qgm: (ns, K*NQ) near-sorted; qn: (ns,) gated count.
+    """
+    from tracer.accel.treelet import NQ
+
+    ns, K = ids.shape
+    ok, near = _sub_gates_raw(tb, ids, sb, prune_sub)  # (ns, K, NSUB, NQ)
+    powers = jnp.arange(NSUB, dtype=jnp.int32)
+    qgm = jnp.sum(
+        ok.astype(jnp.int32) << powers[None, None, :, None], axis=2
+    )  # (ns, K, NQ)
+    # Entry bound for the shared stream: min over gated subs of the
+    # per-sub conservative entry (each is a valid lower bound for its
+    # sub's rays; the min is valid for every gated sub).
+    qnear = jnp.min(jnp.where(ok, near, _INF), axis=2)  # (ns, K, NQ)
+    qids = (
+        ids[:, :, None] * NQ + jnp.arange(NQ, dtype=ids.dtype)[None, None, :]
+    )
+    gated = (qgm != 0) & (enear[:, :, None] < _INF)
+    KQ = K * NQ
+    key = jnp.where(gated, -qnear, -_INF).reshape(ns, KQ)
+    negnear, sel = jax.lax.top_k(key, KQ)  # full near-sort, nothing dropped
+    qids = jnp.take_along_axis(qids.reshape(ns, KQ), sel, axis=1)
+    qgm = jnp.take_along_axis(qgm.reshape(ns, KQ), sel, axis=1)
+    qn = jnp.sum(gated, axis=(1, 2), dtype=jnp.int32)
+    return qids, -negnear, qgm, qn
+
+
+def _qgate_ids(tb, qids, sb, prune_sub):
+    """Per-(quarter id, sub-tile) gates for an explicit quarter-id list.
+
+    Used by the phase-2 re-gate: same geometry test as _sub_gates_raw but
+    against *updated* per-sub prune bounds. qids: (ns, Kq) quarter ids;
+    -> gm (ns, Kq) i32 gate bits.
+    """
+    from tracer.accel.treelet import NQ
+
+    NTQ = tb.qbox.shape[0] * NQ
+    qb = tb.qbox.reshape(NTQ, 6)[jnp.clip(qids, 0, NTQ - 1)]  # (ns, Kq, 6)
+    lo = qb[:, :, None, 0:3]
+    hi = qb[:, :, None, 3:6]
+    o_lo = sb[:, None, :, 0:3]
+    o_hi = sb[:, None, :, 3:6]
+    d_lo = sb[:, None, :, 6:9]
+    d_hi = sb[:, None, :, 9:12]
+    near, far = interval_slab(lo, hi, o_lo, o_hi, d_lo, d_hi)
+    tmin_lo = sb[:, None, :, 12]
+    alive = sb[:, None, :, 13] > 0.5
+    ok = (
+        (near <= far)
+        & (far >= tmin_lo)
+        & (jnp.maximum(near, 0.0) < prune_sub[:, None, :])
+        & alive
+    )  # (ns, Kq, NSUB)
+    powers = jnp.arange(NSUB, dtype=jnp.int32)
+    return jnp.sum(ok.astype(jnp.int32) << powers[None, None, :], axis=-1)
+
+
+def _dispatch(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit,
+              quarter=False):
     from tracer.kernels import treelet_hits as tk
 
     if tk.use_pallas():
         from tracer.kernels.super_hits import hits2
 
-        return hits2(tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit)
+        return hits2(
+            tb, eids, enear, en, gm, o, d, tmin, bt, bp, any_hit,
+            quarter=quarter,
+        )
+    if quarter:
+        return _phase_b_xla_q(tb, eids, en, o, d, tmin, bt, bp, any_hit)
     from tracer.accel.packet import _phase_b_xla
 
     return _phase_b_xla(tb, eids, en, o, d, tmin, bt, bp, any_hit)
+
+
+def _phase_b_xla_q(tb, qids, en, o, d, tmin, best_t, best_pid, any_hit):
+    """XLA fallback for quarter-block emissions (CPU correctness path)."""
+    from tracer.accel.packet import _moller_block
+    from tracer.accel.treelet import NQ
+
+    NTQ = tb.qblocks.shape[0]
+    K = qids.shape[1]
+
+    def step(carry, k):
+        bt, bp = carry
+        qid = jnp.clip(qids[:, k], 0, NTQ - 1)
+        blk = tb.qblocks[qid]  # (ns, 16, TQ)
+        live = k < en
+        upper = jnp.where(live[:, None], bt, -_INF)
+        t, pid = _moller_block(blk, o, d, tmin, upper)
+        if any_hit:
+            bp = jnp.where(t < _INF, 1.0, bp)
+        else:
+            better = t < bt
+            bt = jnp.where(better, t, bt)
+            bp = jnp.where(better, pid, bp)
+        return (bt, bp), None
+
+    (bt, bp), _ = jax.lax.scan(step, (best_t, best_pid), jnp.arange(K))
+    return bt, bp
 
 
 def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None):
@@ -299,46 +440,90 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None)
         ),
         axis=2,
     )
-    gm = _sub_gates(tb, ids, sb, prune_sub)
-    gated = (gm != 0) & (enear < _INF)
-    key = jnp.where(gated, negnear, -_INF)
-    negnear2, sel = jax.lax.top_k(key, K)
-    ids = jnp.take_along_axis(ids, sel, axis=1)
-    gm = jnp.take_along_axis(gm, sel, axis=1)
-    enear = -negnear2
-    en1 = jnp.sum(gated, axis=1, dtype=jnp.int32)
-
     bt0 = tmax
     bp0 = jnp.full((n_super, SUPER), -1.0, jnp.float32)
-    bt, bp = _dispatch(
-        tb, ids, enear, en1, gm, o, d, tmin, bt0, bp0, any_hit
-    )
+    if QUARTER_EMIT:
+        from tracer.accel.treelet import NQ
 
-    # Overflow super-tiles (emissions > K) sweep the remaining blocks in id
-    # order, en-gated so everyone else pays nothing. Conservative superset
-    # (all sub-tiles gated on); the kernel's per-sub bound check still
-    # culls, only the stream break is disabled (enear = 0).
+        ids, enear, gm, en1 = _quarter_emissions(tb, ids, enear, sb, prune_sub)
+        KD = K * NQ  # dispatch batch width (emission ids are quarters)
+        ND = NT * NQ  # id-space size for the overflow sweep
+        quarter = True
+        regate = lambda tail_ids, prune2: _qgate_ids(tb, tail_ids, sb, prune2)
+    else:
+        gm, near_t = _sub_gates(tb, ids, sb, prune_sub, with_near=True)
+        gated = (gm != 0) & (enear < _INF)
+        key = jnp.where(gated, -near_t, -_INF)
+        negnear2, sel = jax.lax.top_k(key, K)
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        gm = jnp.take_along_axis(gm, sel, axis=1)
+        enear = -negnear2
+        en1 = jnp.sum(gated, axis=1, dtype=jnp.int32)
+        KD, ND, quarter = K, NT, False
+        regate = lambda tail_ids, prune2: _sub_gates(tb, tail_ids, sb, prune2)
+
+    M = PHASE1_EMITS
+    if TWO_PHASE and not any_hit and KD > M:
+        # Phase 1: nearest M emissions discover per-ray bounds cheaply
+        # (the near stream carries most closest hits).
+        bt, bp = _dispatch(
+            tb, ids[:, :M], enear[:, :M], jnp.minimum(en1, M),
+            gm[:, :M], o, d, tmin, bt0, bp0, any_hit, quarter=quarter,
+        )
+        # Phase 2: re-gate the tail against the per-sub best-t bounds
+        # phase 1 found. The skipped phase-1 emissions need no replay:
+        # the in-kernel break only skips work the re-gate also rejects
+        # (both compare entry distance vs the same monotone bounds).
+        alive0 = (tmax > tmin).reshape(n_super, NSUB, SUB)
+        prune2 = jnp.max(
+            jnp.where(alive0, bt.reshape(n_super, NSUB, SUB), -_BIG),
+            axis=2,
+        )
+        tail_ids = ids[:, M:]
+        tail_near = enear[:, M:]
+        gm2 = regate(tail_ids, prune2)
+        gated2 = (gm2 != 0) & (tail_near < _INF)
+        key2 = jnp.where(gated2, -tail_near, -_INF)
+        negn2, sel2 = jax.lax.top_k(key2, KD - M)
+        ids2 = jnp.take_along_axis(tail_ids, sel2, axis=1)
+        gmp2 = jnp.take_along_axis(gm2, sel2, axis=1)
+        en2 = jnp.sum(gated2, axis=1, dtype=jnp.int32)
+        bt, bp = _dispatch(
+            tb, ids2, -negn2, en2, gmp2, o, d, tmin, bt, bp, any_hit,
+            quarter=quarter,
+        )
+    else:
+        bt, bp = _dispatch(
+            tb, ids, enear, en1, gm, o, d, tmin, bt0, bp0, any_hit,
+            quarter=quarter,
+        )
+
+    # Overflow super-tiles (super-cull survivors > K) sweep the remaining
+    # blocks in id order, en-gated so everyone else pays nothing.
+    # Conservative superset (all sub-tiles gated on); the kernel's per-sub
+    # bound check still culls, only the stream break is disabled
+    # (enear = 0).
     overflow = total > K
     if NT > K:
         iota_ids = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32)[None, :], (n_super, K)
+            jnp.arange(KD, dtype=jnp.int32)[None, :], (n_super, KD)
         )
-        zeros = jnp.zeros((n_super, K), jnp.float32)
-        full_mask = jnp.full((n_super, K), (1 << NSUB) - 1, jnp.int32)
+        zeros = jnp.zeros((n_super, KD), jnp.float32)
+        full_mask = jnp.full((n_super, KD), (1 << NSUB) - 1, jnp.int32)
 
         def round_body(carry):
             r, bt, bp = carry
-            base = (r - 1) * K  # sweep [0, NT): top-K picked by nearness
-            ids_r = jnp.minimum(iota_ids + base, NT - 1)
-            en_r = jnp.where(overflow, jnp.clip(NT - base, 0, K), 0)
+            base = (r - 1) * KD  # sweep [0, ND): top-K picked by nearness
+            ids_r = jnp.minimum(iota_ids + base, ND - 1)
+            en_r = jnp.where(overflow, jnp.clip(ND - base, 0, KD), 0)
             bt, bp = _dispatch(
                 tb, ids_r, zeros, en_r, full_mask, o, d, tmin, bt, bp,
-                any_hit,
+                any_hit, quarter=quarter,
             )
             return r + 1, bt, bp
 
         def cond(c):
-            return jnp.any(overflow) & ((c[0] - 1) * K < NT) & (c[0] < MAX_ROUNDS)
+            return jnp.any(overflow) & ((c[0] - 1) * KD < ND) & (c[0] < MAX_ROUNDS)
 
         r_end, bt, bp = jax.lax.while_loop(
             cond, round_body, (jnp.int32(1), bt, bp)
@@ -346,7 +531,7 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None)
         # Converged iff the sweep covered every block before the round cap
         # (the reference crashes loudly on traversal overflow,
         # bvh.wgsl:139-148; we flag instead of hanging).
-        conv_super = ~overflow | ((r_end - 1) * K >= NT)
+        conv_super = ~overflow | ((r_end - 1) * KD >= ND)
     else:
         conv_super = jnp.ones((n_super,), bool)
 

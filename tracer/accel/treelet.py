@@ -65,6 +65,8 @@ class TreeletBvh:
     t_hi: jnp.ndarray  # (NT, 3) f32 treelet root AABB hi
     box_table: jnp.ndarray  # (NT, 8) f32 [lo3, hi3, pad2] (super_hits kernel)
     qbox: jnp.ndarray  # (NT, NQ, 6) f32 quarter-block AABBs (Morton-local)
+    qblocks: jnp.ndarray  # (NT*NQ, 16, T/NQ) f32 contiguous quarter view
+    mxu: jnp.ndarray  # (NT, 16, 2T) f32 matmul-form block table
     depth: int  # max top-tree descent depth (stack bound)
     T: int  # triangles per block
 
@@ -113,6 +115,48 @@ def assemble_blocks(verts, idx, pids, valid):
         jnp.zeros_like(kpl),  # row 15: sublane padding
     ]
     blocks = jnp.stack(rows, axis=1)  # (NT, 16, T)
+    # Contiguous quarter-block view (NT*NQ, 16, T/NQ): the streaming
+    # kernel's quarter-granularity DMAs copy one contiguous 16*T/NQ*4-byte
+    # chunk instead of 16 strided 1-row pieces (strided descriptors
+    # measured slower; the duplicate costs HBM capacity, not bandwidth).
+    qblocks = (
+        blocks.reshape(NT, 16, NQ, T // NQ)
+        .transpose(0, 2, 1, 3)
+        .reshape(NT * NQ, 16, T // NQ)
+    )
+    # MXU block table (NT, 16, 2T): the Möller beta/gamma numerators are
+    # bilinear in (per-ray, per-triangle) features —
+    #   beta_num  = (s x d)·e1 =  d·(e1 x v0) - (o x d)·e1
+    #   gamma_num = -(s x d)·e0 = -d·(e0 x v0) + (o x d)·e0
+    # so one (SUB, 16) x (16, 2T) matmul computes both for a whole
+    # sub-tile x block pair on the MXU. Rows 0:6 are the contraction
+    # features (lane group A = beta columns [0:T], group B = gamma
+    # columns [T:2T]); rows 6:12 are free storage for the VPU epilogue
+    # (n, k, pid, valid) because the ray matrix is zero there.
+    zero = jnp.zeros_like(kpl)
+    bA = jnp.cross(e1, v0)
+    bB = -jnp.cross(e0, v0)
+    mxu_rows = [
+        (bA[..., 0], bB[..., 0]),
+        (bA[..., 1], bB[..., 1]),
+        (bA[..., 2], bB[..., 2]),
+        (-e1[..., 0], e0[..., 0]),
+        (-e1[..., 1], e0[..., 1]),
+        (-e1[..., 2], e0[..., 2]),
+        (nrm[..., 0], zero),
+        (nrm[..., 1], zero),
+        (nrm[..., 2], zero),
+        (kpl, zero),
+        (pidf, zero),
+        (valid.astype(jnp.float32), zero),
+        (zero, zero),
+        (zero, zero),
+        (zero, zero),
+        (zero, zero),
+    ]
+    mxu = jnp.stack(
+        [jnp.concatenate([a, b], axis=-1) for a, b in mxu_rows], axis=1
+    )  # (NT, 16, 2T)
     # Quarter AABBs: consecutive slots are Morton-adjacent, so each T/NQ
     # run is spatially local — the finer boxes gate the Möller work inside
     # an already-DMA'd block at no extra traffic.
@@ -128,7 +172,7 @@ def assemble_blocks(verts, idx, pids, valid):
     far_pt = jnp.float32(1.0e30)
     qlo = jnp.where(empty[..., None], far_pt, qlo)
     qhi = jnp.where(empty[..., None], far_pt, qhi)
-    return blocks, jnp.concatenate([qlo, qhi], axis=-1)  # (NT, NQ, 6)
+    return blocks, jnp.concatenate([qlo, qhi], axis=-1), qblocks, mxu
 
 
 def from_host(
@@ -142,7 +186,7 @@ def from_host(
         jnp.arange(T, dtype=jnp.int32)[None, :]
         < jnp.asarray(host.counts, jnp.int32)[:, None]
     )
-    blocks, qbox = assemble_blocks(
+    blocks, qbox, qblocks, mxu = assemble_blocks(
         jnp.asarray(verts_dev, jnp.float32), jnp.asarray(idx_dev, jnp.int32),
         pids, valid,
     )
@@ -153,6 +197,8 @@ def from_host(
         t_hi=jnp.asarray(host.t_hi, jnp.float32),
         box_table=jnp.asarray(host.box_table, jnp.float32),
         qbox=qbox,
+        qblocks=qblocks,
+        mxu=mxu,
         depth=int(host.depth),
         T=T,
     )

@@ -266,6 +266,22 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     if args.interactive:
+        ignored = [
+            name
+            for name, on in (
+                ("--sharded", args.sharded),
+                ("--profile", bool(args.profile)),
+                ("--checkpoint", bool(args.checkpoint)),
+                ("--checkpoint-every", args.checkpoint_every > 0),
+            )
+            if on
+        ]
+        if ignored:
+            print(
+                f"[cli] warning: --interactive ignores {', '.join(ignored)} "
+                "(the REPL drives its own single-device loop)",
+                file=sys.stderr,
+            )
         return interactive_loop(scene, cfg, args)
 
     import contextlib

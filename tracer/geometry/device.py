@@ -122,14 +122,18 @@ def empty_triangles() -> AnalyticTriangles:
     )
 
 
+TRI_COLS = 20  # (T, 20): 9 vertex + 9 normal + 1 mat id + 1 pad
+
+
 @jax.jit
 def _tri_table(verts, norms, idx, mat_ids):
     """Per-triangle attribute rows gathered on device (one fused row gather
-    per vertex slot; PROFILE.md finding 7)."""
+    per vertex slot; PROFILE.md finding 7). Row layout: v0 v1 v2 (9), n0 n1
+    n2 (9), mat id (1), padding to TRI_COLS."""
     cols = [verts[idx[:, c]] for c in range(3)]
     cols += [norms[idx[:, c]] for c in range(3)]
     cols.append(mat_ids.astype(jnp.float32)[:, None])
-    cols.append(jnp.zeros((idx.shape[0], 2), jnp.float32))
+    cols.append(jnp.zeros((idx.shape[0], TRI_COLS - 19), jnp.float32))
     return jnp.concatenate(cols, axis=1)
 
 

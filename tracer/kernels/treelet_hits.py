@@ -198,7 +198,7 @@ def hits(tb, eids, en, o, d, tmin, best_t, best_pid, any_hit: bool,
             pl.BlockSpec(
                 (1, 1, K), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             pl.BlockSpec(
                 (1, 8, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),

@@ -250,11 +250,12 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             from tracer.accel import bsp as bsp_mod
 
             sg = jax.lax.stop_gradient
-            t_m, tri = bsp_mod.bsp_closest_hit(
+            t_m, tri, mesh_conv = bsp_mod.bsp_closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 scene.bsp,
                 sg(scene.geom.vertices),
                 sg(scene.geom.indices),
+                with_conv=True,
             )
         elif trav == "bvh2":
             sg = jax.lax.stop_gradient
@@ -415,8 +416,9 @@ def trace_occluded(scene: Scene, cfg: SceneConfig, rays: Rays,
         elif trav == "bsp":
             from tracer.accel import bsp as bsp_mod
 
-            b = bsp_mod.bsp_any_hit(
-                srays, scene.bsp, sg(scene.geom.vertices), sg(scene.geom.indices)
+            b, conv = bsp_mod.bsp_any_hit(
+                srays, scene.bsp, sg(scene.geom.vertices),
+                sg(scene.geom.indices), with_conv=True,
             )
         elif trav == "bvh2":
             b = traverse.bvh_any_hit(
@@ -590,8 +592,9 @@ def _mesh_only_anyhit(scene: Scene, cfg: SceneConfig, rays: Rays):
         from tracer.accel import bsp as bsp_mod
 
         return bsp_mod.bsp_any_hit(
-            srays, scene.bsp, sg(scene.geom.vertices), sg(scene.geom.indices)
-        ), ones
+            srays, scene.bsp, sg(scene.geom.vertices),
+            sg(scene.geom.indices), with_conv=True,
+        )
     if trav == "bvh2":
         return traverse.bvh_any_hit(
             srays,
@@ -1173,8 +1176,19 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
             wcond, wbody, (jnp.int32(0), carry0)
         )
         return _paint_bad(result, bad)
+    scan_body = body
+    if cfg.remat != "none":
+        # Trade recompute for residual memory in the backward sweep
+        # (jax.checkpoint over the bounce body; prevent_cse=False is the
+        # documented setting for scan bodies).
+        policy = (
+            jax.checkpoint_policies.checkpoint_dots
+            if cfg.remat == "dots"
+            else None
+        )
+        scan_body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (rays, result, factor, emit, done, bad, state), _ = jax.lax.scan(
-        body, carry0, None, length=cfg.max_depth
+        scan_body, carry0, None, length=cfg.max_depth
     )
     return _paint_bad(result, bad)
 

@@ -138,6 +138,11 @@ class SceneConfig:
     # (fast rendering); "scan" runs the full static depth (reverse-mode
     # differentiable — used by tracer.diff).
     loop: str = "while"
+    # Rematerialization policy for the differentiable scan driver:
+    # "none" saves all bounce residuals (memory-heavy, no recompute),
+    # "full" recomputes each bounce in the backward (jax.checkpoint),
+    # "dots" saves only contractions (checkpoint_dots policy).
+    remat: str = "none"
     name: str = ""
 
 

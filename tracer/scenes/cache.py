@@ -65,7 +65,12 @@ def _mesh_key(path: str, scale: float) -> str:
     try:
         tag = f"{path}|{scale}|{os.stat(path).st_mtime_ns}|{_MESH_V}"
     except OSError:
-        tag = f"{os.path.basename(path)}|{scale}|proc|{_MESH_V}"
+        # Procedural stand-in for a missing file: key on the full path
+        # (distinct missing paths must not collide) and the generator
+        # version so regenerated stand-ins invalidate stale entries.
+        from tracer.geometry.procedural import STANDIN_V
+
+        tag = f"{path}|{scale}|proc{STANDIN_V}|{_MESH_V}"
     return hashlib.sha1(tag.encode()).hexdigest()
 
 

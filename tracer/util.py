@@ -71,3 +71,54 @@ def timed(fn: Callable[..., Any], *args, **kwargs) -> tuple[Any, float]:
     out = fn(*args, **kwargs)
     out = jax.block_until_ready(out)
     return out, time.perf_counter() - t0
+
+
+class BackendError(RuntimeError):
+    """Raised by :func:`self_test` when no usable accelerator backend is
+    present (the reference's adapter-probe panic,
+    ``/root/reference/src/gpu_handles.rs:72-92``, as a typed error)."""
+
+
+def self_test(verbose: bool = False) -> str:
+    """Probe the JAX backend: device present, platform named, one tiny
+    jitted op executed. Returns a one-line device description; raises
+    :class:`BackendError` with an actionable message otherwise.
+
+    The analog of ``GPUHandles::self_test`` + the startup panic in the
+    reference (``src/gpu_handles.rs:72-92``, ``src/lib.rs:244-246``):
+    a missing axon/TPU plugin should surface as one clear sentence, not a
+    raw runtime traceback from the middle of the first render.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        devs = jax.devices()
+    except Exception as e:  # no backend initialised at all
+        raise BackendError(
+            "tracer: no JAX backend available "
+            f"({type(e).__name__}: {e}). For TPU runs make sure the "
+            "platform plugin is importable (e.g. PYTHONPATH includes the "
+            "axon site dir); for CPU runs set JAX_PLATFORMS=cpu."
+        ) from e
+    if not devs:
+        raise BackendError("tracer: jax.devices() returned no devices.")
+    d = devs[0]
+    desc = (
+        f"{d.platform} x{len(devs)} ({getattr(d, 'device_kind', 'unknown')})"
+    )
+    try:
+        out = jax.jit(lambda x: x * 2.0 + 1.0)(jnp.float32(1.5))
+        assert float(out) == 4.0
+    except Exception as e:
+        raise BackendError(
+            f"tracer: backend '{desc}' failed the smoke jit "
+            f"({type(e).__name__}: {e}) — the device is visible but not "
+            "usable; on the axon tunnel a transient TPU backend error "
+            "usually clears on retry."
+        ) from e
+    if verbose:
+        print(f"tracer: backend OK: {desc}", file=sys.stderr)
+    return desc
