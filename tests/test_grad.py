@@ -71,7 +71,14 @@ def test_grad_vertices_fd(cornell, target):
         return s.geom.vertices
 
     def set_(s, leaf):
-        return replace(s, geom=replace(s.geom, vertices=leaf))
+        # tri_table is a derived cache of vertices/normals — the FD probe
+        # must refresh it (the AD path's custom VJP reads it; gradients
+        # flow to vertices, the table's own cotangent is zero).
+        from tracer.geometry.device import refresh_tri_table
+
+        return replace(s, geom=refresh_tri_table(
+            replace(s.geom, vertices=leaf)
+        ))
 
     G.fd_check(scene, cfg, target, get, set_, direction, eps=5e-1, rtol=0.25)
 

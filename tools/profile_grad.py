@@ -43,8 +43,15 @@ def bench(name, fn, tries=3):
         def body(i, acc):
             out = fn(eps + jnp.float32(i) * 1e-9)
             leaves = jax.tree.leaves(out)
-            return acc + sum(jnp.sum(l[:1]).astype(jnp.float32)
-                             for l in leaves if hasattr(l, "shape"))
+            # Consume EVERY element of every leaf (full sums): slicing a
+            # single row would let XLA dead-code parts of the cotangent.
+            tot = jnp.float32(0.0)
+            for l in leaves:
+                if hasattr(l, "dtype") and jnp.issubdtype(
+                    l.dtype, jnp.floating
+                ):
+                    tot = tot + jnp.sum(l).astype(jnp.float32)
+            return acc + tot
 
         return lax.fori_loop(0, k, body, jnp.float32(0.0))
 

@@ -125,6 +125,76 @@ def empty_triangles() -> AnalyticTriangles:
 TRI_COLS = 20  # (T, 20): 9 vertex + 9 normal + 1 mat id + 1 pad
 
 
+@jax.custom_vjp
+def fetch_tri_rows(vertices, normals, tri_table, idx, tri_c):
+    """Differentiable per-hit attribute fetch: ONE row gather from the
+    precomputed (T, 20) table forward, ONE stacked (V, 6) scatter-add
+    backward.
+
+    TPU rationale (r5 measurement): gathers cost ~26 ns per INDEX
+    regardless of row width, so the naive differentiable formulation —
+    three per-corner gathers from a (V, 6) table, 3N indices — costs ~3x
+    the while-path's single N-index row gather, in the forward pass
+    alone. This custom VJP makes the differentiable path pay the fast
+    path's price: primal reads ``tri_table`` (derived from
+    vertices/normals at upload), and the backward scatters the row
+    cotangent directly into (V, 6) at ``idx[tri_c]``.
+
+    Contract: ``tri_table`` must be consistent with vertices/normals
+    (it is derived data; gradients flow to vertices/normals and the
+    table's own cotangent is zero). Anything mutating vertices must
+    rebuild the table — see ``upload_mesh``/``refresh_tri_table``.
+    """
+    del vertices, normals, idx
+    return tri_table[tri_c]
+
+
+def _fetch_fwd(vertices, normals, tri_table, idx, tri_c):
+    rows = tri_table[tri_c]
+    res = (idx[tri_c], vertices.shape[0], tri_table.shape,
+           idx.shape, tri_c.shape)
+    return rows, res
+
+
+def _fetch_bwd(res, g):
+    import numpy as _np
+
+    from jax import dtypes as _dtypes
+
+    idx_n, V, table_shape, idx_shape, tric_shape = res
+    n = g.shape[0]
+    gv = g[:, 0:9].reshape(n, 3, 3)
+    gn = g[:, 9:18].reshape(n, 3, 3)
+    gvn = jnp.concatenate([gv, gn], axis=-1)  # (N, 3, 6)
+    dvn = jnp.zeros((V, 6), g.dtype).at[idx_n].add(gvn)
+    f0 = _dtypes.float0
+    return (
+        dvn[:, 0:3],
+        dvn[:, 3:6],
+        jnp.zeros(table_shape, g.dtype),  # derived data: no gradient
+        _np.zeros(idx_shape, f0),
+        _np.zeros(tric_shape, f0),
+    )
+
+
+fetch_tri_rows.defvjp(_fetch_fwd, _fetch_bwd)
+
+
+def refresh_tri_table(geom: "GeometryBuffers") -> "GeometryBuffers":
+    """Rebuild the derived (T, 20) attribute table after mutating
+    vertices/normals (e.g. an optimization step or an FD probe). Same
+    contract as the accel block tables: derived caches follow the
+    canonical buffers; gradients flow to the canonical buffers only."""
+    from tracer.util import replace as _replace
+
+    return _replace(
+        geom,
+        tri_table=_tri_table(
+            geom.vertices, geom.normals, geom.indices, geom.mat_ids
+        ),
+    )
+
+
 @jax.jit
 def _tri_table(verts, norms, idx, mat_ids):
     """Per-triangle attribute rows gathered on device (one fused row gather

@@ -293,33 +293,28 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
             mesh_conv = conv
         ok = tri >= 0
         tri_c = jnp.clip(tri, 0, scene.geom.indices.shape[0] - 1)
-        if cfg.loop == "while":
-            # Fast path (not reverse-differentiable anyway): one row gather
-            # from the precomputed per-triangle table — XLA fuses the seven
-            # scattered per-vertex gathers badly (~20 ms/frame on dragon).
-            row = scene.geom.tri_table[tri_c]
-            v0 = row[:, 0:3]
-            v1 = row[:, 3:6]
-            v2 = row[:, 6:9]
-            n0 = row[:, 9:12]
-            n1 = row[:, 12:15]
-            n2 = row[:, 15:18]
-            mat = row[:, 18].astype(jnp.int32)
-        else:
-            # Differentiable path: gather vertices so gradients reach
-            # scene.geom.vertices / normals. Vertices and normals are
-            # stacked into one (V, 6) table so the bounce pays ONE
-            # per-corner gather — and, critically, its AD transpose is
-            # ONE scatter-add instead of two (the scatters dominate the
-            # backward: ~25 ms per table per bounce on dragon).
-            idx = scene.geom.indices[tri_c]  # (N, 3)
-            vn = jnp.concatenate(
-                [scene.geom.vertices, scene.geom.normals], axis=-1
-            )  # (V, 6)
-            rows = vn[idx]  # (N, 3, 6)
-            v0, v1, v2 = rows[:, 0, 0:3], rows[:, 1, 0:3], rows[:, 2, 0:3]
-            n0, n1, n2 = rows[:, 0, 3:6], rows[:, 1, 3:6], rows[:, 2, 3:6]
-            mat = scene.geom.mat_ids[tri_c]
+        # Both drivers fetch hit attributes as ONE row gather from the
+        # precomputed (T, 20) table (gathers are per-INDEX bound on TPU:
+        # the old differentiable 3-corner formulation paid 3N indices).
+        # fetch_tri_rows carries a custom VJP so the scan driver stays
+        # reverse-differentiable: the backward is one stacked (V, 6)
+        # scatter-add into vertices+normals.
+        from tracer.geometry.device import fetch_tri_rows
+
+        row = fetch_tri_rows(
+            scene.geom.vertices,
+            scene.geom.normals,
+            scene.geom.tri_table,
+            scene.geom.indices,
+            tri_c,
+        )
+        v0 = row[:, 0:3]
+        v1 = row[:, 3:6]
+        v2 = row[:, 6:9]
+        n0 = row[:, 9:12]
+        n1 = row[:, 12:15]
+        n2 = row[:, 15:18]
+        mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
         # Differentiable re-derivation of t/beta/gamma from the winning id.
         t_d, beta, gamma, _ = intersect.triangle_t(
             Rays(rays.o, rays.d, jnp.zeros_like(rays.tmin), rays.tmax),
