@@ -12,12 +12,65 @@ Extra stage details go to stderr.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def path_frame_child():
+    """Child: W8E3 path-mode ms/frame; prints 'CHILD <ms>' on stdout."""
+    import jax
+
+    from tracer.render import progressive as P
+    from tracer.scenes import build_scene, get_scene
+
+    pdesc = get_scene("W8 E3 Absorption")
+    ptimings = {}
+    pscene, pcfg = build_scene(pdesc, timings=ptimings)
+    pstate = P.init_state(pcfg)
+    t0 = time.perf_counter()
+    pstate = P.step(pscene, pcfg, pstate)
+    jax.block_until_ready(pstate.accum)
+    log(f"path first frame (compile + run): {time.perf_counter()-t0:.2f} s "
+        f"(build {ptimings.get('total', 0.0):.2f} s)")
+    pframes = 10
+    t0 = time.perf_counter()
+    for _ in range(pframes):
+        pstate = P.step(pscene, pcfg, pstate)
+    jax.block_until_ready(pstate.accum)
+    ms = (time.perf_counter() - t0) / pframes * 1e3
+    log(f"path mode ({pdesc.name} {pcfg.width}x{pcfg.height} depth "
+        f"{pcfg.max_depth}): {ms:.2f} ms/frame")
+    print(f"CHILD {ms}")
+
+
+def path_grad_child():
+    """Child: W8E3 path-mode grad-step ms; prints 'CHILD <ms>'."""
+    import jax
+
+    from tracer.diff import grad as G
+    from tracer.scenes import build_scene, get_scene
+
+    pdesc = get_scene("W8 E3 Absorption")
+    pscene, pcfg = build_scene(pdesc)
+    pgcfg = dataclasses.replace(pcfg, loop="scan")
+    ptarget = jax.numpy.zeros((pcfg.height * pcfg.width, 3))
+    t0 = time.perf_counter()
+    pg = G.grad_scene(pscene, pgcfg, ptarget)
+    jax.block_until_ready(pg.camera.eye)
+    log(f"path grad first step (compile + run): "
+        f"{time.perf_counter()-t0:.2f} s")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        pg = G.grad_scene(pscene, pgcfg, ptarget)
+    jax.block_until_ready(pg.camera.eye)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    log(f"path grad step: {ms:.1f} ms")
+    print(f"CHILD {ms}")
 
 
 def main():
@@ -28,6 +81,18 @@ def main():
     from tracer.util import self_test
 
     log(f"backend: {self_test()}")  # adapter probe (gpu_handles.rs:72-92)
+
+    import os
+
+    cache_dir = os.environ.get(
+        "TRACER_JAX_CACHE", os.path.expanduser("~/.cache/tracer-jax")
+    )
+    try:
+        cache_entries = len(os.listdir(cache_dir))
+    except OSError:
+        cache_entries = 0
+    log(f"compile cache: {cache_entries} entries "
+        f"({'warm' if cache_entries else 'cold'})")
 
     desc = get_scene("Project: Dragon")
     cfg = desc.cfg
@@ -89,43 +154,33 @@ def main():
 
     # Path-tracer bench (VERDICT r4 item 5): W8E3 Cornell 512^2, path mode,
     # depth 10 — the BASELINE config #3 / dryrun flagship. ms/frame and
-    # grad-step ms in the same JSON line.
+    # grad-step ms in the same JSON line. Runs in CHILD PROCESSES: the
+    # axon backend tolerates only ~2 large loaded executables per process
+    # (a third throws INVALID_ARGUMENT), and this process already holds
+    # the dragon step + grad programs.
     path_ms = path_grad_ms = None
-    try:
-        pdesc = get_scene("W8 E3 Absorption")
-        pcfg = pdesc.cfg
-        ptimings = {}
-        pscene, pcfg = build_scene(pdesc, timings=ptimings)
-        pstate = P.init_state(pcfg)
-        t0 = time.perf_counter()
-        pstate = P.step(pscene, pcfg, pstate)
-        jax.block_until_ready(pstate.accum)
-        log(f"path first frame (compile + run): "
-            f"{time.perf_counter() - t0:.2f} s "
-            f"(build {ptimings.get('total', 0.0):.2f} s)")
-        pframes = 10
-        t0 = time.perf_counter()
-        for _ in range(pframes):
-            pstate = P.step(pscene, pcfg, pstate)
-        jax.block_until_ready(pstate.accum)
-        path_ms = (time.perf_counter() - t0) / pframes * 1e3
-        log(f"path mode ({pdesc.name} {pcfg.width}x{pcfg.height} "
-            f"depth {pcfg.max_depth}): {path_ms:.2f} ms/frame")
+    import subprocess
 
-        from tracer.diff import grad as G
-
-        pgcfg = dataclasses.replace(pcfg, loop="scan")
-        ptarget = jax.numpy.zeros((pcfg.height * pcfg.width, 3))
-        pg = G.grad_scene(pscene, pgcfg, ptarget)
-        jax.block_until_ready(pg.camera.eye)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            pg = G.grad_scene(pscene, pgcfg, ptarget)
-        jax.block_until_ready(pg.camera.eye)
-        path_grad_ms = (time.perf_counter() - t0) / 3 * 1e3
-        log(f"path grad step: {path_grad_ms:.1f} ms")
-    except Exception as e:
-        log(f"path bench failed: {e!r}")
+    for flag, key in (("--path-frame-child", "path_ms"),
+                      ("--path-grad-child", "path_grad_ms")):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=3600,
+                env=dict(os.environ),
+            )
+            for ln in out.stderr.splitlines():
+                log(f"  [path] {ln}")
+            val = None
+            for ln in out.stdout.splitlines():
+                if ln.startswith("CHILD "):
+                    val = float(ln.split()[1])
+            if key == "path_ms":
+                path_ms = val
+            else:
+                path_grad_ms = val
+        except Exception as e:
+            log(f"path bench child {flag} failed: {e!r}")
 
     baseline = 45.0e6  # reference BVH dragon (journal/src/project.md 4.2.2)
     print(
@@ -141,10 +196,16 @@ def main():
                 "first_frame_seconds": first_frame_s,
                 "path_ms_per_frame": path_ms,
                 "path_grad_ms": path_grad_ms,
+                "compile_cache_entries_at_start": cache_entries,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--path-frame-child" in sys.argv:
+        path_frame_child()
+    elif "--path-grad-child" in sys.argv:
+        path_grad_child()
+    else:
+        main()

@@ -41,10 +41,11 @@ def make_rays(s, eps):
                 jnp.full(n, cfg.tmax, jnp.float32))
 
 
-def bench(name, qemit, kloop, qdma, twophase="0", p1m=48, tries=3):
+def bench(name, qemit, kloop, qdma, twophase="0", p1m=48, mxu="0", tries=3):
     os.environ["TRACER_QEMIT"] = qemit
     os.environ["TRACER_KLOOP"] = kloop
     os.environ["TRACER_QDMA"] = qdma
+    os.environ["TRACER_MXU"] = mxu
     F.QUARTER_EMIT = qemit != "0"
     F.TWO_PHASE = twophase != "0"
     F.PHASE1_EMITS = p1m
@@ -80,11 +81,5 @@ def bench(name, qemit, kloop, qdma, twophase="0", p1m=48, tries=3):
             time.sleep(2)
 
 
-bench("block 1phase (r4 baseline)", "0", "bits", "contig", "0")
-bench("block 2phase M=12", "0", "bits", "contig", "1", 12)
-bench("block 2phase M=20", "0", "bits", "contig", "1", 20)
-bench("block 2phase M=32", "0", "bits", "contig", "1", 32)
-bench("quarter 2phase M=32", "1", "bits", "contig", "1", 32)
-bench("quarter 2phase M=64", "1", "bits", "contig", "1", 64)
-bench("quarter 2phase M=96", "1", "bits", "contig", "1", 96)
-bench("quarter 1phase", "1", "bits", "contig", "0")
+bench("block 1phase (default)", "0", "bits", "contig", "0")
+bench("block 1phase MXU", "0", "bits", "contig", "0", mxu="1")

@@ -156,17 +156,49 @@ def _fetch_fwd(vertices, normals, tri_table, idx, tri_c):
     return rows, res
 
 
+def _corner_cotangents(g):
+    n = g.shape[0]
+    gv = g[:, 0:9].reshape(n, 3, 3)
+    gn = g[:, 9:18].reshape(n, 3, 3)
+    return jnp.concatenate([gv, gn], axis=-1)  # (N, 3, 6)
+
+
+def _scatter_add_vn(idx_n, gvn, V, dtype):
+    """(N, 3) corner ids + (N, 3, 6) cotangents -> (V, 6) sum.
+
+    Two implementations (TRACER_SCATTER), both measured on the dragon
+    (r5): "add" (default) is the plain scatter-add at ~85 ns per index
+    row — the 1.08M-index corner scatter is the ENTIRE ~80 ms gradient-
+    step overhead (PROFILE finding 20); "sort" pre-sorts the (id,
+    payload) rows with lax.sort then segment-sums with
+    indices_are_sorted=True, and measured WORSE (113 vs 106 ms
+    launch-incl fetch-only): the 3.24M-row 7-operand sort costs more
+    than it saves, and the sorted segment-sum still lowers to a scatter.
+    """
+    import os as _os
+
+    mode = _os.environ.get("TRACER_SCATTER", "add")
+    flat_idx = idx_n.reshape(-1).astype(jnp.int32)  # (3N,)
+    flat_g = gvn.reshape(-1, 6)
+    if mode == "add":
+        return jnp.zeros((V, 6), dtype).at[flat_idx].add(flat_g)
+    ops = [flat_idx] + [flat_g[:, j] for j in range(6)]
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    sid = sorted_ops[0]
+    svals = jnp.stack(sorted_ops[1:], axis=-1)  # (3N, 6)
+    return jax.ops.segment_sum(
+        svals, sid, num_segments=V, indices_are_sorted=True
+    )
+
+
 def _fetch_bwd(res, g):
     import numpy as _np
 
     from jax import dtypes as _dtypes
 
     idx_n, V, table_shape, idx_shape, tric_shape = res
-    n = g.shape[0]
-    gv = g[:, 0:9].reshape(n, 3, 3)
-    gn = g[:, 9:18].reshape(n, 3, 3)
-    gvn = jnp.concatenate([gv, gn], axis=-1)  # (N, 3, 6)
-    dvn = jnp.zeros((V, 6), g.dtype).at[idx_n].add(gvn)
+    gvn = _corner_cotangents(g)
+    dvn = _scatter_add_vn(idx_n, gvn, V, g.dtype)
     f0 = _dtypes.float0
     return (
         dvn[:, 0:3],

@@ -315,12 +315,27 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
         n1 = row[:, 12:15]
         n2 = row[:, 15:18]
         mat = jax.lax.stop_gradient(row[:, 18]).astype(jnp.int32)
+        # Gradient-attribution probes (tools/profile_grad.py): cut one
+        # half of the vertex cotangent chain to localize backward cost.
+        import os as _os
+
+        _probe = _os.environ.get("TRACER_GRAD_PROBE", "")
+        if _probe == "sg_t":  # vertices reach the loss via normals only
+            sgp = jax.lax.stop_gradient
+            v0t, v1t, v2t = sgp(v0), sgp(v1), sgp(v2)
+        elif _probe == "sg_n":  # vertices reach the loss via t/pos only
+            sgp = jax.lax.stop_gradient
+            n0, n1, n2 = sgp(n0), sgp(n1), sgp(n2)
+            v0t, v1t, v2t = v0, v1, v2
+            v0, v1, v2 = sgp(v0), sgp(v1), sgp(v2)  # face-normal fallback
+        else:
+            v0t, v1t, v2t = v0, v1, v2
         # Differentiable re-derivation of t/beta/gamma from the winning id.
         t_d, beta, gamma, _ = intersect.triangle_t(
             Rays(rays.o, rays.d, jnp.zeros_like(rays.tmin), rays.tmax),
-            v0,
-            v1,
-            v2,
+            v0t,
+            v1t,
+            v2t,
         )
         pos = rays.o + t_d[:, None] * rays.d
         face_n = vec.cross(v1 - v0, v2 - v0)
