@@ -168,8 +168,14 @@ def mesh_brute_force(rays: Rays, vertices, indices, chunk: int = 2048):
 
     Returns (t, tri_id) with tri_id == -1 for miss. Memory stays
     O(N * chunk) instead of O(N * T); XLA keeps the running min in registers.
+
+    ``chunk`` is clamped to the lane-rounded triangle count: tiny meshes
+    (the 12-triangle Cornell box) must not pad to a full 2048-wide chunk —
+    that cost 170x redundant Möller work and a 6 GB broadcast temp in the
+    backward pass (the r5 path-grad OOM).
     """
     T = indices.shape[0]
+    chunk = min(chunk, max(128, -(-T // 128) * 128))
     n_chunks = -(-T // chunk)
     pad = n_chunks * chunk - T
     idx_pad = jnp.pad(indices, ((0, pad), (0, 0)))
@@ -214,6 +220,7 @@ def mesh_brute_force_anyhit(rays: Rays, vertices, indices, chunk: int = 2048):
     — the analog of ``intersect_trimesh_immediate_return``
     (``/root/reference/res/shaders/bsp.wgsl:83-155``)."""
     T = indices.shape[0]
+    chunk = min(chunk, max(128, -(-T // 128) * 128))
     n_chunks = -(-T // chunk)
     pad = n_chunks * chunk - T
     idx_pad = jnp.pad(indices, ((0, pad), (0, 0)))
