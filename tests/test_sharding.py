@@ -101,13 +101,18 @@ def test_sharded_hlo_collective_structure(mesh):
         f"got {fwd}"
     )
 
-    from tracer.diff.grad import grad_scene
+    from tracer.diff.grad import grad_scene_jit
 
     target = jax.device_put(
         jnp.zeros((cfg.height * cfg.width, 3), jnp.float32),
         NamedSharding(mesh, PartitionSpec(S.RAY_AXIS, None)),
     )
-    grad_hlo = grad_scene.lower(scene_r, cfg, target).compile().as_text()
+    # scatter="add": the multi-device path grad_scene resolves to — the
+    # plain scatter partitions as local-scatter + psum (the sorted Pallas
+    # placement is single-chip-only; a global sort would all-gather).
+    grad_hlo = grad_scene_jit.lower(
+        scene_r, cfg, target, 1, "add"
+    ).compile().as_text()
     g = collective_census(grad_hlo)
     assert g["all-reduce"] >= 1, f"gradient psum missing: {g}"
     for k in ("all-gather", "collective-permute", "all-to-all",

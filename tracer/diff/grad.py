@@ -66,14 +66,47 @@ def l2_loss(scene: Scene, cfg: SceneConfig, target, num_samples: int = 1):
     return jnp.mean((img - target) ** 2)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_samples"))
-def grad_scene(scene: Scene, cfg: SceneConfig, target, num_samples: int = 1):
-    """Full Scene-pytree gradient of the L2 loss (float leaves only)."""
+@partial(jax.jit, static_argnames=("cfg", "num_samples", "scatter"))
+def grad_scene_jit(scene: Scene, cfg: SceneConfig, target,
+                   num_samples: int = 1, scatter: str = "pallas"):
+    """Full Scene-pytree gradient of the L2 loss (float leaves only).
+
+    ``scatter`` picks the vertex-cotangent scatter implementation for this
+    trace (static: part of the jit cache key). Use ``grad_scene`` to have
+    it resolved from the input shardings automatically.
+    """
+    from tracer.geometry.device import scatter_override
 
     def loss_fn(s):
         return l2_loss(s, cfg, target, num_samples)
 
-    return jax.grad(loss_fn, allow_int=True)(scene)
+    with scatter_override(scatter):
+        return jax.grad(loss_fn, allow_int=True)(scene)
+
+
+def _spans_multiple_devices(*trees) -> bool:
+    for leaf in jax.tree.leaves(trees):
+        try:
+            sh = leaf.sharding
+            if len(sh.device_set) > 1:
+                return True
+        except Exception:
+            continue
+    return False
+
+
+def grad_scene(scene: Scene, cfg: SceneConfig, target, num_samples: int = 1):
+    """Full Scene-pytree gradient of the L2 loss (float leaves only).
+
+    Single-device inputs trace the sorted Pallas vertex scatter (the fast
+    path); multi-device inputs trace the plain scatter-add, whose GSPMD
+    partitioning is local-scatter + psum (a global sort would all-gather
+    the cotangent stream — see ``device.scatter_override``).
+    """
+    from tracer.geometry.device import _scatter_mode
+
+    scatter = "add" if _spans_multiple_devices(scene, target) else _scatter_mode()
+    return grad_scene_jit(scene, cfg, target, num_samples, scatter)
 
 
 def directional_derivative_ad(scene, cfg, target, get, set_, direction,

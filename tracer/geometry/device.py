@@ -124,6 +124,35 @@ def empty_triangles() -> AnalyticTriangles:
 
 TRI_COLS = 20  # (T, 20): 9 vertex + 9 normal + 1 mat id + 1 pad
 
+# Trace-scoped override for the vertex-scatter implementation. The sorted
+# Pallas placement ("pallas") is the fast single-chip path, but a global
+# sort is not GSPMD-partitionable — tracing it under a multi-device
+# sharding makes XLA all-gather the whole cotangent stream to every
+# device. Sharded traces (tracer.diff.grad resolves this automatically)
+# use the plain scatter-add, which partitions as local-scatter + psum.
+_SCATTER_OVERRIDE: list = []
+
+
+class scatter_override:
+    """Context manager: force a scatter mode for traces in its scope."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _SCATTER_OVERRIDE.append(self.mode)
+
+    def __exit__(self, *exc):
+        _SCATTER_OVERRIDE.pop()
+
+
+def _scatter_mode() -> str:
+    import os as _os
+
+    if _SCATTER_OVERRIDE:
+        return _SCATTER_OVERRIDE[-1]
+    return _os.environ.get("TRACER_SCATTER", "pallas")
+
 
 @jax.custom_vjp
 def fetch_tri_rows(vertices, normals, tri_table, idx, tri_c):
@@ -166,22 +195,29 @@ def _corner_cotangents(g):
 def _scatter_add_vn(idx_n, gvn, V, dtype):
     """(N, 3) corner ids + (N, 3, 6) cotangents -> (V, 6) sum.
 
-    Two implementations (TRACER_SCATTER), both measured on the dragon
-    (r5): "add" (default) is the plain scatter-add at ~85 ns per index
-    row — the 1.08M-index corner scatter is the ENTIRE ~80 ms gradient-
-    step overhead (PROFILE finding 20); "sort" pre-sorts the (id,
-    payload) rows with lax.sort then segment-sums with
-    indices_are_sorted=True, and measured WORSE (113 vs 106 ms
-    launch-incl fetch-only): the 3.24M-row 7-operand sort costs more
-    than it saves, and the sorted segment-sum still lowers to a scatter.
+    Three implementations (TRACER_SCATTER), all measured on the dragon
+    (r5): "add" is the plain scatter-add at ~85 ns per index row — the
+    1.08M-index corner scatter was the ENTIRE ~80 ms gradient-step
+    overhead (PROFILE finding 20); "sort" pre-sorts the (id, payload)
+    rows with lax.sort then segment-sums with indices_are_sorted=True,
+    and measured WORSE (the sorted segment-sum still lowers to a
+    scatter); "pallas" (default) sorts the same way but replaces the
+    placement with the dense one-hot MXU matmul kernel
+    (``tracer.kernels.scatter_vn``) — no scatter anywhere, so the
+    per-index floor disappears. Sharded traces force "add" (see
+    ``scatter_override``): the plain scatter partitions as per-shard
+    local scatter + psum, while a global sort would all-gather.
     """
-    import os as _os
-
-    mode = _os.environ.get("TRACER_SCATTER", "add")
+    mode = _scatter_mode()
     flat_idx = idx_n.reshape(-1).astype(jnp.int32)  # (3N,)
     flat_g = gvn.reshape(-1, 6)
     if mode == "add":
         return jnp.zeros((V, 6), dtype).at[flat_idx].add(flat_g)
+    if mode == "pallas":
+        from tracer.kernels.scatter_vn import scatter_add_vn_pallas
+
+        return scatter_add_vn_pallas(flat_idx, flat_g.astype(jnp.float32), V
+                                     ).astype(dtype)
     ops = [flat_idx] + [flat_g[:, j] for j in range(6)]
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     sid = sorted_ops[0]
