@@ -21,6 +21,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(x):
+    """Force completion: block_until_ready does NOT reliably block on the
+    tunneled backend (returns before execution finishes); a host readback
+    of a tiny slice does. Timing loops must end with sync()."""
+    import numpy as _np
+
+    arr = x
+    try:
+        _np.asarray(arr.reshape(-1)[:1])
+    except Exception:
+        _np.asarray(arr)
+
+
 def path_frame_child():
     """Child: W8E3 path-mode ms/frame; prints 'CHILD <ms>' on stdout."""
     import jax
@@ -34,14 +47,14 @@ def path_frame_child():
     pstate = P.init_state(pcfg)
     t0 = time.perf_counter()
     pstate = P.step(pscene, pcfg, pstate)
-    jax.block_until_ready(pstate.accum)
+    sync(pstate.accum)
     log(f"path first frame (compile + run): {time.perf_counter()-t0:.2f} s "
         f"(build {ptimings.get('total', 0.0):.2f} s)")
     pframes = 10
     t0 = time.perf_counter()
     for _ in range(pframes):
         pstate = P.step(pscene, pcfg, pstate)
-    jax.block_until_ready(pstate.accum)
+    sync(pstate.accum)
     ms = (time.perf_counter() - t0) / pframes * 1e3
     log(f"path mode ({pdesc.name} {pcfg.width}x{pcfg.height} depth "
         f"{pcfg.max_depth}): {ms:.2f} ms/frame")
@@ -61,13 +74,13 @@ def path_grad_child():
     ptarget = jax.numpy.zeros((pcfg.height * pcfg.width, 3))
     t0 = time.perf_counter()
     pg = G.grad_scene(pscene, pgcfg, ptarget)
-    jax.block_until_ready(pg.camera.eye)
+    sync(pg.camera.eye)
     log(f"path grad first step (compile + run): "
         f"{time.perf_counter()-t0:.2f} s")
     t0 = time.perf_counter()
     for _ in range(3):
         pg = G.grad_scene(pscene, pgcfg, ptarget)
-    jax.block_until_ready(pg.camera.eye)
+    sync(pg.camera.eye)
     ms = (time.perf_counter() - t0) / 3 * 1e3
     log(f"path grad step: {ms:.1f} ms")
     print(f"CHILD {ms}")
@@ -101,7 +114,7 @@ def main():
     timings = {}
     t0 = time.perf_counter()
     scene, cfg = build_scene(desc, timings=timings)
-    jax.block_until_ready(scene.tb.blocks)
+    sync(scene.tb.blocks)
     build_s = time.perf_counter() - t0
     log(f"scene build: {build_s:.2f} s "
         "(host products disk-cached; cold adds mesh gen + LBVH + cut)")
@@ -113,7 +126,7 @@ def main():
     state = P.init_state(cfg)
     t0 = time.perf_counter()
     state = P.step(scene, cfg, state)
-    jax.block_until_ready(state.accum)
+    sync(state.accum)
     first_frame_s = time.perf_counter() - t0
     log(f"first frame (compile + run): {first_frame_s:.2f} s")
 
@@ -122,7 +135,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(frames):
         state = P.step(scene, cfg, state)
-    jax.block_until_ready(state.accum)
+    sync(state.accum)
     dt = time.perf_counter() - t0
     ms_per_frame = dt / frames * 1e3
     rays = cfg.width * cfg.height  # primary rays per frame at 1 spp
@@ -140,12 +153,12 @@ def main():
         gcfg = dataclasses.replace(cfg, loop="scan", max_depth=2)
         target = jax.numpy.zeros((cfg.height * cfg.width, 3))
         g = G.grad_scene(scene, gcfg, target)
-        jax.block_until_ready(g.camera.eye)
+        sync(g.camera.eye)
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
             g = G.grad_scene(scene, gcfg, target)
-        jax.block_until_ready(g.camera.eye)
+        sync(g.camera.eye)
         dtg = (time.perf_counter() - t0) / reps
         fwdbwd = rays * 2 / dtg  # fwd + bwd passes per pixel
         log(f"grad step: {dtg*1e3:.1f} ms, fwd+bwd {fwdbwd/1e6:.1f} Mray/s")

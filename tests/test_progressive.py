@@ -115,3 +115,42 @@ def test_interactive_cli_repl(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert out_png.exists()
     assert "ms/frame" in r.stderr
+
+
+def test_seeded_frames_bit_identical():
+    """Temporal t-bound seeding is an accelerator, not an approximation:
+    frame radiance with a (good or garbage) seed is bit-identical to the
+    unseeded render — undershooting lanes go through the flat engine's
+    exact repair pass (tracer.accel.flat._run)."""
+    import jax.numpy as jnp
+
+    from tracer.render import integrator
+    from tracer.util import replace
+
+    d = get_scene("Project: Utah Teapot")  # 6.3k tris -> treelet engine
+    d = dataclasses.replace(
+        d, cfg=dataclasses.replace(d.cfg, width=24, height=16)
+    )
+    scene, cfg = build_scene(d)
+    assert integrator._single_bounce(cfg)  # the seeded driver engages
+    assert integrator._effective_traversal(scene, cfg) == "bvh"
+    n = cfg.width * cfg.height
+    scene = replace(
+        scene, uniforms=replace(scene.uniforms, iteration=jnp.uint32(0))
+    )
+    base = np.asarray(integrator.render_sample(scene, cfg))
+
+    zero_seed = jnp.zeros((n,), jnp.float32)
+    r0, seed1 = integrator.render_sample_seeded(scene, cfg, zero_seed)
+    assert np.array_equal(base, np.asarray(r0))
+    # Real seed from frame 0 (mesh-hit lanes carry their depth).
+    assert float(jnp.max(seed1)) > 0.0
+    r1, _ = integrator.render_sample_seeded(scene, cfg, seed1)
+    assert np.array_equal(base, np.asarray(r1))
+    # Adversarial seeds: way too tight (every lane repairs) and garbage.
+    r2, _ = integrator.render_sample_seeded(scene, cfg, seed1 * 0.05)
+    assert np.array_equal(base, np.asarray(r2))
+    r3, _ = integrator.render_sample_seeded(
+        scene, cfg, jnp.full((n,), 1e-4, jnp.float32)
+    )
+    assert np.array_equal(base, np.asarray(r3))

@@ -1,4 +1,5 @@
-"""Pure device-time stage profiler: each stage runs R times inside one jit
+"""Pure device-time stage profiler (results forced with float() readback:
+block_until_ready does NOT reliably block on the tunneled backend): each stage runs R times inside one jit
 via fori_loop (input varied by loop index, output scalar-reduced), so the
 per-launch tunnel overhead of the axon backend is paid once per STAGE, not
 once per rep. Reported ms = (t_launch(R) - t_launch(1)) / (R - 1): genuine
@@ -46,16 +47,16 @@ def bench(name, stage, tries=3):
         try:
             f1 = jax.jit(lambda s, e: run_k(s, e, 1))
             fR = jax.jit(lambda s, e: run_k(s, e, R))
-            jax.block_until_ready(f1(scene, jnp.float32(0.0)))
-            jax.block_until_ready(fR(scene, jnp.float32(0.0)))
+            float(f1(scene, jnp.float32(0.0)))
+            float(fR(scene, jnp.float32(0.0)))
             t1s = []
             tRs = []
             for i in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f1(scene, jnp.float32(i) * 1e-5))
+                float(f1(scene, jnp.float32(i) * 1e-5))
                 t1s.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                jax.block_until_ready(fR(scene, jnp.float32(i) * 1e-5 + 1e-6))
+                float(fR(scene, jnp.float32(i) * 1e-5 + 1e-6))
                 tRs.append(time.perf_counter() - t0)
             dt = (min(tRs) - min(t1s)) / (R - 1) * 1e3
             log(f"{name:44s} {dt:8.2f} ms  (launch+1x: {min(t1s)*1e3:.1f})")

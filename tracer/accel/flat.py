@@ -383,7 +383,15 @@ def _phase_b_xla_q(tb, qids, en, o, d, tmin, best_t, best_pid, any_hit):
     return bt, bp
 
 
-def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None):
+# Temporal seed slack: the previous frame's hit distance at a jittered
+# sub-pixel bounds this frame's within (surface slope x jitter); lanes
+# whose true hit lands beyond the slack fall into the exact repair pass.
+SEED_REL = 1.01
+SEED_ABS = 1.0e-3
+
+
+def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None,
+         seed_t=None):
     if K is None:
         K = K_EMIT  # read at call time so tests can shrink the budget
     n = rays.o.shape[0]
@@ -440,25 +448,54 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None)
         ),
         axis=2,
     )
-    bt0 = tmax
+    # Temporal t-bound seeding (closest-hit only): clamp each lane's
+    # initial best-t to last frame's hit distance (+ slack). The per-sub
+    # SMEM break bounds then start TIGHT instead of being discovered
+    # along the stream — the bound-discovery dynamics that set the
+    # engine's floor (PROFILE finding 18) are skipped. Gates/emissions
+    # keep the ORIGINAL windows, so the same emission list conservatively
+    # covers both the seeded pass and the repair pass below.
+    seeded_mask = None
+    if seed_t is not None and not any_hit:
+        st = tile(seed_t, fill=0.0)
+        bound = st * jnp.float32(SEED_REL) + jnp.float32(SEED_ABS)
+        seeded_mask = (st > 0.0) & (bound < tmax)
+        bt0 = jnp.where(seeded_mask, bound, tmax)
+    else:
+        bt0 = tmax
     bp0 = jnp.full((n_super, SUPER), -1.0, jnp.float32)
+    # No compaction pass: the kernel skips empty-gate emissions before
+    # issuing their DMA (~3 scalar ops each, tracer.kernels.super_hits),
+    # so the near-ordered top-K list is dispatched as-is. The r4 design's
+    # second compaction top_k — and quarter mode's KQ-wide near-sort
+    # (_quarter_emissions) — were the dominant *prep* cost; the kernel-only
+    # A/B (tools/profile_visit.py) showed the quarter-granularity kernel
+    # is FASTER than block (7.9 vs 9.2 ms on dragon), inverting the
+    # finding-17 conclusion once prep is out of the picture.
+    en1 = jnp.minimum(total, K)
     if QUARTER_EMIT:
         from tracer.accel.treelet import NQ
 
-        ids, enear, gm, en1 = _quarter_emissions(tb, ids, enear, sb, prune_sub)
+        ok_q, _near_q = _sub_gates_raw(tb, ids, sb, prune_sub)
+        powers = jnp.arange(NSUB, dtype=jnp.int32)
+        gm = jnp.sum(
+            ok_q.astype(jnp.int32) << powers[None, None, :, None], axis=2
+        ).reshape(n_super, K * NQ)  # (ns, K*NQ)
+        ids = (
+            ids[:, :, None] * NQ
+            + jnp.arange(NQ, dtype=ids.dtype)[None, None, :]
+        ).reshape(n_super, K * NQ)
+        # Stream break key: the BLOCK near, replicated per quarter — the
+        # stream is monotone in it (quarter nears are tighter but would
+        # break the monotonicity the early-exit relies on).
+        enear = jnp.repeat(enear, NQ, axis=1)
+        en1 = en1 * NQ
         KD = K * NQ  # dispatch batch width (emission ids are quarters)
         ND = NT * NQ  # id-space size for the overflow sweep
         quarter = True
         regate = lambda tail_ids, prune2: _qgate_ids(tb, tail_ids, sb, prune2)
     else:
-        gm, near_t = _sub_gates(tb, ids, sb, prune_sub, with_near=True)
-        gated = (gm != 0) & (enear < _INF)
-        key = jnp.where(gated, -near_t, -_INF)
-        negnear2, sel = jax.lax.top_k(key, K)
-        ids = jnp.take_along_axis(ids, sel, axis=1)
-        gm = jnp.take_along_axis(gm, sel, axis=1)
-        enear = -negnear2
-        en1 = jnp.sum(gated, axis=1, dtype=jnp.int32)
+        gm = _sub_gates(tb, ids, sb, prune_sub)
         KD, ND, quarter = K, NT, False
         regate = lambda tail_ids, prune2: _sub_gates(tb, tail_ids, sb, prune2)
 
@@ -496,6 +533,35 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None)
         bt, bp = _dispatch(
             tb, ids, enear, en1, gm, o, d, tmin, bt0, bp0, any_hit,
             quarter=quarter,
+        )
+
+    if seeded_mask is not None:
+        # Exact repair: a seeded lane that found NOTHING under its clamped
+        # window may have its true hit in (seed, tmax] — re-dispatch the
+        # same (conservative, original-window) emission list with the full
+        # window for exactly those lanes and a dead (-inf) window for the
+        # rest. Steady state has zero unresolved lanes (the seed includes
+        # slack), so the whole pass sits behind a lax.cond and costs one
+        # any() reduce per frame.
+        unresolved = (bp < 0.0) & seeded_mask
+
+        def _repair(args):
+            bt, bp = args
+            btr, bpr = _dispatch(
+                tb, ids, enear,
+                jnp.where(jnp.any(unresolved, axis=1), en1, 0),
+                gm, o, d, tmin,
+                jnp.where(unresolved, tmax, -_INF),
+                jnp.full_like(bp, -1.0),
+                any_hit, quarter=quarter,
+            )
+            return (
+                jnp.where(unresolved, btr, bt),
+                jnp.where(unresolved, bpr, bp),
+            )
+
+        bt, bp = jax.lax.cond(
+            jnp.any(unresolved), _repair, lambda args: args, (bt, bp)
         )
 
     # Overflow super-tiles (super-cull survivors > K) sweep the remaining
@@ -545,14 +611,20 @@ def _run(rays: Rays, tb: TreeletBvh, frame, any_hit: bool, K: int | None = None)
     return bt, bp, conv
 
 
-def closest_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False):
+def closest_hit(rays: Rays, tb: TreeletBvh, frame=None, with_conv=False,
+                seed_t=None):
     """(t, prim_id) closest hit; prim_id == -1 on miss. Exact (the frustum
     cull is conservative; the per-ray hits kernel decides).
+
+    ``seed_t``: optional (N,) per-ray upper-bound hint (0 = no hint),
+    typically last frame's hit distance. EXACT regardless of hint quality:
+    lanes whose hint undershoots are re-traced by the repair pass in
+    ``_run``; a good hint only makes the stream break earlier.
 
     ``with_conv=True`` additionally returns a per-ray bool that is False
     when the overflow sweep hit its round cap before covering every block
     — a clipped traversal is detectable, never silent."""
-    bt, bp, conv = _run(rays, tb, frame, any_hit=False)
+    bt, bp, conv = _run(rays, tb, frame, any_hit=False, seed_t=seed_t)
     pid = bp.astype(jnp.int32)
     t = jnp.where(pid >= 0, bt, rays.tmax)
     if with_conv:

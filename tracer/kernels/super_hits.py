@@ -152,7 +152,7 @@ def _kernel(
 
     for w in range(NBUF - 1):
 
-        @pl.when(w < n)
+        @pl.when((w < n) & (gm_ref[0, 0, w] != 0))
         def _(w=w):
             dma(w, w).start()
 
@@ -164,17 +164,22 @@ def _kernel(
     def body(carry):
         k, _gub = carry
 
-        @pl.when(k + NBUF - 1 < n)
+        # Emissions whose gate mask is empty are skipped BEFORE their DMA
+        # is issued (the mask lives in SMEM, readable ahead) — so an
+        # uncompacted emission list costs ~3 scalar ops per dead entry,
+        # and the XLA side needs no second compaction top_k. Index clipped:
+        # the predicate does not short-circuit the SMEM read.
+        kpre = jnp.minimum(k + NBUF - 1, K - 1)
+
+        @pl.when((k + NBUF - 1 < n) & (gm_ref[0, 0, kpre] != 0))
         def _():
             dma((k + NBUF - 1) % NBUF, k + NBUF - 1).start()
 
-        dma(k % NBUF, k).wait()
         ek = enear_ref[0, 0, k]
-
-        blk = blk_s[k % NBUF]  # (16, T)
         gm = gm_ref[0, 0, k]
 
         def run_sub(s, off):
+            blk = blk_s[k % NBUF]  # (16, T)
             # Möller this sub-tile against the block. Bit s of gm: the
             # sub may intersect (quarter-AABB tightened in XLA).
             # Quarter-granularity *testing* in-kernel measured slower
@@ -201,33 +206,36 @@ def _kernel(
             bp_s[pl.ds(off, SUB), :] = bp
             ub_smem[s] = jnp.max(bt)
 
-        if bit_loop:
-            # Iterate only the SET bits of the gate word (avg ~4 of 16):
-            # per-visit scalar work tracks gated subs, not NSUB.
-            def sub_cond(g):
-                return g != 0
+        @pl.when(gm != 0)
+        def _():
+            dma(k % NBUF, k).wait()
+            if bit_loop:
+                # Iterate only the SET bits of the gate word (avg ~4 of
+                # 16): per-visit scalar work tracks gated subs, not NSUB.
+                def sub_cond(g):
+                    return g != 0
 
-            def sub_body(g):
-                low = g & (-g)
-                s = (
-                    jnp.where((low & 0xAAAA) != 0, 1, 0)
-                    + jnp.where((low & 0xCCCC) != 0, 2, 0)
-                    + jnp.where((low & 0xF0F0) != 0, 4, 0)
-                    + jnp.where((low & 0xFF00) != 0, 8, 0)
-                )
+                def sub_body(g):
+                    low = g & (-g)
+                    s = (
+                        jnp.where((low & 0xAAAA) != 0, 1, 0)
+                        + jnp.where((low & 0xCCCC) != 0, 2, 0)
+                        + jnp.where((low & 0xF0F0) != 0, 4, 0)
+                        + jnp.where((low & 0xFF00) != 0, 8, 0)
+                    )
 
-                @pl.when(ek < ub_smem[s])
-                def _():
-                    run_sub(s, s * SUB)
+                    @pl.when(ek < ub_smem[s])
+                    def _():
+                        run_sub(s, s * SUB)
 
-                return g & (g - 1)
+                    return g & (g - 1)
 
-            jax.lax.while_loop(sub_cond, sub_body, gm)
-        else:
-            for s in range(NSUB):
-                @pl.when(((gm >> s) & 1 != 0) & (ek < ub_smem[s]))
-                def _(s=s):
-                    run_sub(s, s * SUB)
+                jax.lax.while_loop(sub_cond, sub_body, gm)
+            else:
+                for s in range(NSUB):
+                    @pl.when(((gm >> s) & 1 != 0) & (ek < ub_smem[s]))
+                    def _(s=s):
+                        run_sub(s, s * SUB)
 
         gub = ub_smem[0]
         for s in range(1, NSUB):
@@ -236,10 +244,11 @@ def _kernel(
 
     k, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), _INF))
 
-    # Retire DMAs already in flight past the break point.
+    # Retire DMAs already in flight past the break point (only entries
+    # whose gate mask is non-empty ever started one).
     for w in range(NBUF - 1):
 
-        @pl.when(k + w < n)
+        @pl.when((k + w < n) & (gm_ref[0, 0, jnp.minimum(k + w, K - 1)] != 0))
         def _(w=w):
             dma((k + w) % NBUF, k + w).wait()
 

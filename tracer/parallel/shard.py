@@ -55,11 +55,15 @@ def shard_state(state: ProgressiveState, mesh: Mesh) -> ProgressiveState:
     accum = jax.device_put(
         accum, NamedSharding(mesh, P(RAY_AXIS, None))
     )
+    seed_t = jax.device_put(
+        jnp.pad(state.seed_t, (0, n_pad - n)),
+        NamedSharding(mesh, P(RAY_AXIS)),
+    )
     # Commit the iteration counter replicated too: otherwise call 2 of the
     # step (iteration now a committed device array) retraces with a new
     # input layout.
     iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
-    return ProgressiveState(accum=accum, iteration=iteration)
+    return ProgressiveState(accum=accum, iteration=iteration, seed_t=seed_t)
 
 
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
@@ -95,7 +99,11 @@ def sharded_step(mesh: Mesh, donate: bool = True):
         accum = jax.lax.with_sharding_constraint(
             accum, NamedSharding(mesh, P(RAY_AXIS, None))
         )
-        return ProgressiveState(accum=accum, iteration=state.iteration + 1)
+        # Temporal seeding stays single-chip for now (the Pallas flat
+        # engine is not traced under GSPMD); the hint rides along unused.
+        return ProgressiveState(
+            accum=accum, iteration=state.iteration + 1, seed_t=state.seed_t
+        )
 
     return step
 

@@ -99,12 +99,17 @@ def _effective_traversal(scene: Scene, cfg: SceneConfig) -> str:
     return cfg.traversal
 
 
-def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
+def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays,
+                  seed_t=None) -> Hit:
     """Closest hit over analytic primitives + trimesh.
 
     Reproduces the sequential tmax-shrinking fold of the per-scene
     ``intersect_scene`` functions (e.g. ``w8e3.wgsl:290-311``) as a running
     minimum with attribute selection.
+
+    ``seed_t``: optional per-ray temporal upper-bound hint for the flat
+    (coherent-wavefront) mesh engine; exact regardless of hint quality
+    (see ``tracer.accel.flat.closest_hit``).
     """
     n = rays.o.shape[0]
     f32 = jnp.float32
@@ -284,11 +289,15 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays) -> Hit:
 
             mod = flat_mod if cfg.mode == "direct" else packet_mod
             sg = jax.lax.stop_gradient
+            kw = {}
+            if mod is flat_mod and seed_t is not None:
+                kw["seed_t"] = sg(seed_t)
             t_m, tri, conv = mod.closest_hit(
                 Rays(sg(sub.o), sg(sub.d), sg(sub.tmin), sg(sub.tmax)),
                 jax.tree.map(sg, scene.tb),  # accel buffers carry no grads
                 frame=(cfg.width, cfg.height),
                 with_conv=True,
+                **kw,
             )
             mesh_conv = conv
         ok = tri >= 0
@@ -1102,7 +1111,8 @@ def _single_bounce(cfg: SceneConfig) -> bool:
     )
 
 
-def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
+def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0,
+                seed_t=None, return_t=False):
     """The fragment-shader main loop (w8e3.wgsl:264-275) over the wavefront:
     iterate up to ``max_depth`` bounces, accumulating ``result += shade(...)``
     and stopping lanes on miss or terminal shade.
@@ -1113,10 +1123,16 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
     no continuation materials skip the loop machinery entirely (one
     unrolled iteration — the XLA analog of the reference compiling each
     scene's shader with only its own switch arms).
+
+    ``seed_t``/``return_t`` (single-bounce driver only): temporal t-bound
+    hint for the primary trace and the per-lane mesh hit distance to seed
+    the next frame with (0 where the closest hit is not a mesh — analytic
+    prims shrink the window before the mesh engine, so seeding those
+    lanes would send them through the repair pass every frame).
     """
     n = rays0.o.shape[0]
 
-    def body(carry, _):
+    def body(carry, _, seed=None):
         rays, result, factor, emit, done, bad, state = carry
         # Done lanes collapse their ray interval to empty so every
         # traversal engine's alive-culling skips them — without this, a
@@ -1124,7 +1140,7 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         # remaining depth (measured 34 ms/bounce of pure waste on dragon).
         rays = Rays(rays.o, rays.d, rays.tmin,
                     jnp.where(done, rays.tmin, rays.tmax))
-        hit = trace_closest(scene, cfg, rays)
+        hit = trace_closest(scene, cfg, rays, seed_t=seed)
         bad = bad | (~done & ~hit.converged)
 
         miss = ~hit.valid & ~done
@@ -1157,7 +1173,10 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         emit = jnp.where(live, emit2, emit)
         state = jnp.where(live, state2, state)
         done_next = done_next | (live & ~cont)
-        return (rays, result, factor, emit, done_next, bad, state), None
+        return (
+            (rays, result, factor, emit, done_next, bad, state),
+            (hit.t, hit.valid & hit.is_mesh),
+        )
 
     carry0 = (
         rays0,
@@ -1169,8 +1188,11 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         state0,
     )
     if _single_bounce(cfg) and cfg.max_depth >= 1:
-        carry, _ = body(carry0, None)
-        return _paint_bad(carry[1], carry[5])
+        carry, (t1, mesh1) = body(carry0, None, seed=seed_t)
+        out = _paint_bad(carry[1], carry[5])
+        if return_t:
+            return out, jnp.where(mesh1, t1, 0.0)
+        return out
     if cfg.loop == "while":
         def wcond(st):
             i, carry = st
@@ -1185,7 +1207,8 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         _, (rays, result, factor, emit, done, bad, state) = jax.lax.while_loop(
             wcond, wbody, (jnp.int32(0), carry0)
         )
-        return _paint_bad(result, bad)
+        out = _paint_bad(result, bad)
+        return (out, jnp.zeros(n, jnp.float32)) if return_t else out
     scan_body = body
     if cfg.remat != "none":
         # Trade recompute for residual memory in the backward sweep
@@ -1198,9 +1221,11 @@ def bounce_loop(scene: Scene, cfg: SceneConfig, rays0: Rays, state0):
         )
         scan_body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     (rays, result, factor, emit, done, bad, state), _ = jax.lax.scan(
-        scan_body, carry0, None, length=cfg.max_depth
+        lambda c, x: (scan_body(c, x)[0], None), carry0, None,
+        length=cfg.max_depth,
     )
-    return _paint_bad(result, bad)
+    out = _paint_bad(result, bad)
+    return (out, jnp.zeros(n, jnp.float32)) if return_t else out
 
 
 def _paint_bad(result, bad):
@@ -1250,6 +1275,51 @@ def render_sample(scene: Scene, cfg: SceneConfig):
         )
         acc = acc + bounce_loop(scene, cfg, rays, state)
     return acc / jnp.float32(k)
+
+
+def render_sample_seeded(scene: Scene, cfg: SceneConfig, seed_t):
+    """``render_sample`` + temporal t-bound seeding for single-bounce
+    direct scenes on the flat engine: the per-sub-tile break bounds start
+    at last frame's depths instead of being discovered along the stream
+    (the engine's measured floor, PROFILE finding 18). Returns
+    (radiance, next_seed). EXACT: lanes whose hint undershoots (moved
+    camera, disocclusion) are re-traced by the flat engine's repair pass,
+    so the radiance is bit-identical to the unseeded render.
+
+    Falls back to plain ``render_sample`` (hint passed through) for
+    path-mode / multi-bounce / non-treelet scenes.
+    """
+    seeded = (
+        _single_bounce(cfg)
+        and cfg.max_depth >= 1
+        and scene.geom is not None
+        and scene.tb is not None
+        and _effective_traversal(scene, cfg) == "bvh"
+    )
+    if not seeded:
+        return render_sample(scene, cfg), seed_t
+    w, h = cfg.width, cfg.height
+    u, v = pixel_uv(w, h)
+    n = w * h
+    launch_idx = jnp.arange(n, dtype=jnp.uint32)
+    jitters = scene.jitters
+    if jitters is None:
+        jitters = jnp.zeros((1, 2), jnp.float32)
+    k = jitters.shape[0]
+    state = rng.pixel_seed(launch_idx, scene.uniforms.iteration)
+    acc = jnp.zeros((n, 3), jnp.float32)
+    for i in range(k):
+        rays = camera_rays(scene.camera, u, v, jnp.broadcast_to(jitters[i], (n, 2)))
+        rays = Rays(
+            rays.o, rays.d,
+            jnp.full(n, cfg.eta, jnp.float32),
+            jnp.full(n, cfg.tmax, jnp.float32),
+        )
+        res, seed_t = bounce_loop(
+            scene, cfg, rays, state, seed_t=seed_t, return_t=True
+        )
+        acc = acc + res
+    return acc / jnp.float32(k), seed_t
 
 
 def accumulate(result, accum, iteration):

@@ -29,12 +29,19 @@ from tracer.util import pytree_dataclass, replace
 class ProgressiveState:
     accum: jnp.ndarray  # (H*W, 3) f32 running mean (linear radiance)
     iteration: jnp.ndarray  # () u32
+    # (H*W,) f32 last frame's primary mesh-hit distance (0 = no hint):
+    # temporal t-bound seed for the flat engine's break bounds. Pure
+    # accelerator state — the render is bit-identical with it zeroed
+    # (exactness via the repair pass, tracer.accel.flat._run).
+    seed_t: jnp.ndarray
 
 
 def init_state(cfg: SceneConfig) -> ProgressiveState:
+    n = cfg.height * cfg.width
     return ProgressiveState(
-        accum=jnp.zeros((cfg.height * cfg.width, 3), jnp.float32),
+        accum=jnp.zeros((n, 3), jnp.float32),
         iteration=jnp.zeros((), jnp.uint32),
+        seed_t=jnp.zeros((n,), jnp.float32),
     )
 
 
@@ -49,9 +56,11 @@ def step(scene: Scene, cfg: SceneConfig, state: ProgressiveState) -> Progressive
     scene = replace(
         scene, uniforms=replace(scene.uniforms, iteration=state.iteration)
     )
-    result = integrator.render_sample(scene, cfg)
+    result, seed_t = integrator.render_sample_seeded(scene, cfg, state.seed_t)
     accum = integrator.accumulate(result, state.accum, state.iteration)
-    return ProgressiveState(accum=accum, iteration=state.iteration + 1)
+    return ProgressiveState(
+        accum=accum, iteration=state.iteration + 1, seed_t=seed_t
+    )
 
 
 def render_progressive(
@@ -85,6 +94,7 @@ def save_checkpoint(path: str, state: ProgressiveState, cfg: SceneConfig) -> Non
         tmp if tmp.endswith(".npz") else tmp + ".npz",
         accum=np.asarray(state.accum),
         iteration=np.asarray(state.iteration),
+        seed_t=np.asarray(state.seed_t),
         width=cfg.width,
         height=cfg.height,
         name=cfg.name,
@@ -98,9 +108,15 @@ def load_checkpoint(path: str, cfg: SceneConfig) -> ProgressiveState:
         assert int(z["width"]) == cfg.width and int(z["height"]) == cfg.height, (
             "checkpoint resolution mismatch"
         )
+        n = cfg.height * cfg.width
+        seed = (
+            jnp.asarray(z["seed_t"]) if "seed_t" in z.files
+            else jnp.zeros((n,), jnp.float32)  # pre-r5 checkpoints
+        )
         return ProgressiveState(
             accum=jnp.asarray(z["accum"]),
             iteration=jnp.asarray(z["iteration"], jnp.uint32),
+            seed_t=seed,
         )
 
 
