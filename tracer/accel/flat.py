@@ -40,7 +40,12 @@ from tracer.kernels.super_hits import NSUB, SUB, SUPER
 
 _INF = jnp.float32(3.0e38)
 _BIG = jnp.float32(1.0e18)  # indefinite-interval sentinel (safe in products)
-K_EMIT = 256
+# Emission budget per super-tile. The dragon frame peaks at 54 super-cull
+# survivors per super (mean 14, p99 42) — K=96 covers a 1.8x margin; the
+# id-ordered overflow sweep keeps larger working sets exact (just slower),
+# and the K-wide qbox row gather is per-INDEX priced (finding 19), so an
+# oversized K is pure prep cost (K=256 measured +1 ms/frame of gather).
+K_EMIT = int(os.environ.get("TRACER_KEMIT", "96"))
 MAX_ROUNDS = 4096
 
 # Quarter-block emission granularity (TRACER_QEMIT=1). Measured on the

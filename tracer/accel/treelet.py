@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -90,11 +91,21 @@ class TreeletHost:
     T: int
 
 
-@jax.jit
-def assemble_blocks(verts, idx, pids, valid):
+def _want_mxu() -> bool:
+    import os
+
+    return os.environ.get("TRACER_MXU", "0") != "0"
+
+
+@partial(jax.jit, static_argnames=("with_mxu",))
+def assemble_blocks(verts, idx, pids, valid, with_mxu: bool = False):
     """Gather + edge/normal precompute for the (NT, 16, T) block table and
     the (NT, NQ, 6) quarter-block AABBs, on device (one fused gather per
-    vertex slot; see PROFILE.md finding 7)."""
+    vertex slot; see PROFILE.md finding 7).
+
+    ``with_mxu``: also build the (NT, 16, 2T) matmul-form table for the
+    TRACER_MXU Möller lever — 188 MB of HBM and a second full assembly
+    pass the default engine never touches, so it is opt-in."""
     NT, T = pids.shape
     tri = idx[pids]  # (NT, T, 3)
     v = verts[tri]  # (NT, T, 3, 3)
@@ -133,30 +144,33 @@ def assemble_blocks(verts, idx, pids, valid):
     # features (lane group A = beta columns [0:T], group B = gamma
     # columns [T:2T]); rows 6:12 are free storage for the VPU epilogue
     # (n, k, pid, valid) because the ray matrix is zero there.
-    zero = jnp.zeros_like(kpl)
-    bA = jnp.cross(e1, v0)
-    bB = -jnp.cross(e0, v0)
-    mxu_rows = [
-        (bA[..., 0], bB[..., 0]),
-        (bA[..., 1], bB[..., 1]),
-        (bA[..., 2], bB[..., 2]),
-        (-e1[..., 0], e0[..., 0]),
-        (-e1[..., 1], e0[..., 1]),
-        (-e1[..., 2], e0[..., 2]),
-        (nrm[..., 0], zero),
-        (nrm[..., 1], zero),
-        (nrm[..., 2], zero),
-        (kpl, zero),
-        (pidf, zero),
-        (valid.astype(jnp.float32), zero),
-        (zero, zero),
-        (zero, zero),
-        (zero, zero),
-        (zero, zero),
-    ]
-    mxu = jnp.stack(
-        [jnp.concatenate([a, b], axis=-1) for a, b in mxu_rows], axis=1
-    )  # (NT, 16, 2T)
+    if with_mxu:
+        zero = jnp.zeros_like(kpl)
+        bA = jnp.cross(e1, v0)
+        bB = -jnp.cross(e0, v0)
+        mxu_rows = [
+            (bA[..., 0], bB[..., 0]),
+            (bA[..., 1], bB[..., 1]),
+            (bA[..., 2], bB[..., 2]),
+            (-e1[..., 0], e0[..., 0]),
+            (-e1[..., 1], e0[..., 1]),
+            (-e1[..., 2], e0[..., 2]),
+            (nrm[..., 0], zero),
+            (nrm[..., 1], zero),
+            (nrm[..., 2], zero),
+            (kpl, zero),
+            (pidf, zero),
+            (valid.astype(jnp.float32), zero),
+            (zero, zero),
+            (zero, zero),
+            (zero, zero),
+            (zero, zero),
+        ]
+        mxu = jnp.stack(
+            [jnp.concatenate([a, b], axis=-1) for a, b in mxu_rows], axis=1
+        )  # (NT, 16, 2T)
+    else:
+        mxu = jnp.zeros((1, 1, 1), jnp.float32)  # placeholder leaf
     # Quarter AABBs: consecutive slots are Morton-adjacent, so each T/NQ
     # run is spatially local — the finer boxes gate the Möller work inside
     # an already-DMA'd block at no extra traffic.
@@ -176,26 +190,36 @@ def assemble_blocks(verts, idx, pids, valid):
 
 
 def from_host(
-    host: TreeletHost, verts_dev: jnp.ndarray, idx_dev: jnp.ndarray
+    host: TreeletHost, verts_dev: jnp.ndarray, idx_dev: jnp.ndarray,
+    dev: list | None = None,
 ) -> TreeletBvh:
     """TreeletHost + device geometry -> TreeletBvh (blocks gathered on
-    device)."""
+    device). ``dev``: [pids, top, t_lo, t_hi, box_table, counts] already
+    on device (they ride the packed geometry upload, saving the ~0.6 s
+    fixed link cost per array — see ``device.pack_upload``)."""
     T = host.T
-    pids = jnp.asarray(host.pids, jnp.int32)
+    if dev:
+        pids, top, t_lo, t_hi, box_table, counts = dev
+    else:
+        pids = jnp.asarray(host.pids, jnp.int32)
+        top = jnp.asarray(host.top)
+        t_lo = jnp.asarray(host.t_lo, jnp.float32)
+        t_hi = jnp.asarray(host.t_hi, jnp.float32)
+        box_table = jnp.asarray(host.box_table, jnp.float32)
+        counts = jnp.asarray(host.counts, jnp.int32)
     valid = (
-        jnp.arange(T, dtype=jnp.int32)[None, :]
-        < jnp.asarray(host.counts, jnp.int32)[:, None]
+        jnp.arange(T, dtype=jnp.int32)[None, :] < counts[:, None]
     )
     blocks, qbox, qblocks, mxu = assemble_blocks(
         jnp.asarray(verts_dev, jnp.float32), jnp.asarray(idx_dev, jnp.int32),
-        pids, valid,
+        pids, valid, with_mxu=_want_mxu(),
     )
     return TreeletBvh(
-        top=jnp.asarray(host.top),
+        top=top,
         blocks=blocks,
-        t_lo=jnp.asarray(host.t_lo, jnp.float32),
-        t_hi=jnp.asarray(host.t_hi, jnp.float32),
-        box_table=jnp.asarray(host.box_table, jnp.float32),
+        t_lo=t_lo,
+        t_hi=t_hi,
+        box_table=box_table,
         qbox=qbox,
         qblocks=qblocks,
         mxu=mxu,

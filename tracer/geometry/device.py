@@ -275,22 +275,76 @@ def _tri_table(verts, norms, idx, mat_ids):
     return jnp.concatenate(cols, axis=1)
 
 
-def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.ndarray]:
-    """MeshData -> (geometry, materials, light_indices) device buffers.
+def pack_upload(parts_h: list) -> list:
+    """Ship a list of host arrays (f32/i32, any shape) as ONE packed f32
+    transfer, returning device arrays with original dtype/shape. The
+    tunneled link costs ~0.6 s FIXED per transfer plus ~20 MB/s, so N
+    separate uploads pay ~0.6*N s of pure per-transfer latency."""
+    flats = []
+    metas = []
+    for a in parts_h:
+        a = np.ascontiguousarray(a)
+        if a.dtype == np.int32:
+            flats.append(a.reshape(-1).view(np.float32))
+        elif a.dtype == np.float32:
+            flats.append(a.reshape(-1))
+        else:
+            raise TypeError(f"pack_upload: unsupported dtype {a.dtype}")
+        metas.append((a.dtype, a.shape))
+    packed = jnp.asarray(np.concatenate(flats) if flats else np.zeros(0, np.float32))
+    offs = np.concatenate([[0], np.cumsum([f.size for f in flats])]).tolist()
+
+    # One jitted split: eager per-piece slicing dispatches one compiled
+    # program PER PIECE through the tunnel (~0.5 s each, measured) — the
+    # single fused program costs one dispatch and persists in the
+    # compile cache.
+    def _split(p):
+        out = []
+        for i, (dt, shape) in enumerate(metas):
+            piece = jax.lax.slice(p, (offs[i],), (offs[i + 1],))
+            if dt == np.int32:
+                piece = jax.lax.bitcast_convert_type(piece, jnp.int32)
+            out.append(piece.reshape(shape))
+        return tuple(out)
+
+    return list(jax.jit(_split)(packed))
+
+
+def upload_mesh(
+    mesh: MeshData, extra: Optional[list] = None
+) -> tuple[GeometryBuffers, MaterialTable, jnp.ndarray, list]:
+    """MeshData -> (geometry, materials, light_indices, extra_dev) buffers.
 
     Unlike wgpu, zero-length buffers are legal, so the reference's
     ``u32::MAX`` sentinel prepend (``storage_mesh.rs:330-332``) is dropped;
     the light list holds exactly the emissive-triangle ids.
+
+    Everything ships as one ``pack_upload`` transfer; ``extra`` host
+    arrays (e.g. the treelet-cut product) ride the same transfer.
     """
     # Cast on host before upload: shipping int64 intermediates doubles
     # the index-buffer transfer over the device link.
     mat32 = np.where(mesh.mat_ids == 0xFFFFFFFF, 0, mesh.mat_ids).astype(
         np.int32
     )
-    verts_d = jnp.asarray(np.asarray(mesh.vertices, np.float32))
-    norms_d = jnp.asarray(np.asarray(mesh.normals, np.float32))
-    idx_d = jnp.asarray(mesh.indices.astype(np.int32))
-    mat_d = jnp.asarray(mat32)
+    mats = mesh.materials
+    parts = [
+        np.asarray(mesh.vertices, np.float32),
+        np.asarray(mesh.normals, np.float32),
+        mesh.indices.astype(np.int32),
+        mat32,
+        np.stack([m.diffuse for m in mats]).astype(np.float32),
+        np.stack([m.ambient for m in mats]).astype(np.float32),
+        np.stack([m.specular for m in mats]).astype(np.float32),
+        np.asarray([m.illum for m in mats], np.int32),
+        np.asarray([m.shininess for m in mats], np.float32),
+        np.asarray([m.ior for m in mats], np.float32),
+        mesh.light_indices().astype(np.int32),
+    ] + list(extra or [])
+    dev = pack_upload(parts)
+    (verts_d, norms_d, idx_d, mat_d, diff_d, emis_d, spec_d, illum_d,
+     shin_d, ior_d, lights) = dev[:11]
+    extra_d = dev[11:]
     geom = GeometryBuffers(
         vertices=verts_d,
         normals=norms_d,
@@ -302,14 +356,12 @@ def upload_mesh(mesh: MeshData) -> tuple[GeometryBuffers, MaterialTable, jnp.nda
         # the interconnect.
         tri_table=_tri_table(verts_d, norms_d, idx_d, mat_d),
     )
-    mats = mesh.materials
     table = MaterialTable(
-        diffuse=jnp.asarray(np.stack([m.diffuse for m in mats]), jnp.float32),
-        emission=jnp.asarray(np.stack([m.ambient for m in mats]), jnp.float32),
-        specular=jnp.asarray(np.stack([m.specular for m in mats]), jnp.float32),
-        illum=jnp.asarray([m.illum for m in mats], jnp.int32),
-        shininess=jnp.asarray([m.shininess for m in mats], jnp.float32),
-        ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+        diffuse=diff_d,
+        emission=emis_d,
+        specular=spec_d,
+        illum=illum_d,
+        shininess=shin_d,
+        ior=ior_d,
     )
-    lights = jnp.asarray(mesh.light_indices().astype(np.int64), jnp.int32)
-    return geom, table, lights
+    return geom, table, lights, extra_d

@@ -283,8 +283,13 @@ def hits2(tb, eids, enear, en, gatemask, o, d, tmin, best_t, best_pid,
     strided = os.environ.get("TRACER_QDMA", "contig") == "strided"
     qmode = ("strided" if strided else "contig") if quarter else False
     # MXU Möller (TRACER_MXU=1): stream the matmul-form (16, 2T) blocks
-    # and compute beta/gamma numerators on the MXU. Block emission only.
-    mxu = os.environ.get("TRACER_MXU", "0") != "0" and not quarter
+    # and compute beta/gamma numerators on the MXU. Block emission only,
+    # and only when the build actually assembled the (opt-in) mxu table.
+    mxu = (
+        os.environ.get("TRACER_MXU", "0") != "0"
+        and not quarter
+        and tb.mxu.shape[0] == tb.blocks.shape[0]
+    )
     if mxu:
         hbm = tb.mxu
     else:

@@ -1289,8 +1289,11 @@ def render_sample_seeded(scene: Scene, cfg: SceneConfig, seed_t):
     Falls back to plain ``render_sample`` (hint passed through) for
     path-mode / multi-bounce / non-treelet scenes.
     """
+    import os as _os
+
     seeded = (
-        _single_bounce(cfg)
+        _os.environ.get("TRACER_SEED", "1") != "0"
+        and _single_bounce(cfg)
         and cfg.max_depth >= 1
         and scene.geom is not None
         and scene.tb is not None

@@ -86,25 +86,18 @@ def _possible_shaders(desc: SceneDescriptor):
     return tuple(sorted(ids))
 
 
-def _build_treelet(mesh, geom, bvh_leaf: int, mark):
-    """Treelet accel build: disk-cached host cut + on-device block gather."""
-    import time as _time
-
+def _treelet_host(mesh, bvh_leaf: int):
+    """Disk-cached host half of the treelet build (cut + top tree)."""
     from tracer.accel import treelet as treelet_mod
     from tracer.scenes import cache as disk_cache
 
-    t0 = _time.perf_counter()
     fp = disk_cache.mesh_fingerprint(mesh)
     host = disk_cache.load_treelet_host(fp, bvh_leaf, 1024)
     if host is None:
         binary = lbvh.build_for_mesh(mesh, max_prims=bvh_leaf)
         host = treelet_mod.build_host(binary, T=1024)
         disk_cache.save_treelet_host(fp, bvh_leaf, host)
-    mark("accel_host", t0)
-    t0 = _time.perf_counter()
-    tb = treelet_mod.from_host(host, geom.vertices, geom.indices)
-    mark("device_assembly", t0)
-    return tb
+    return host
 
 
 def build_scene(desc: SceneDescriptor, timings: dict | None = None):
@@ -132,38 +125,54 @@ def build_scene(desc: SceneDescriptor, timings: dict | None = None):
     )
     f32 = jnp.float32
 
-    spheres = None
+    # Analytic primitives: every field rides ONE packed transfer (each
+    # jnp.asarray pays ~0.6 s of fixed link latency — 13 tiny uploads
+    # cost more than the whole mesh).
+    from tracer.geometry.device import pack_upload
+
+    ana_parts = []
     if desc.spheres:
         c, r, sh, bc, ior, ext = zip(*desc.spheres)
-        spheres = Spheres(
-            center=jnp.asarray(c, f32),
-            radius=jnp.asarray(r, f32),
-            shader=jnp.asarray(sh, jnp.int32),
-            base_color=jnp.asarray(bc, f32),
-            ior=jnp.asarray(ior, f32),
-            extinction=jnp.asarray(ext, f32),
-        )
-    planes = None
+        ana_parts += [
+            np.asarray(c, np.float32), np.asarray(r, np.float32),
+            np.asarray(sh, np.int32), np.asarray(bc, np.float32),
+            np.asarray(ior, np.float32), np.asarray(ext, np.float32),
+        ]
     if desc.planes:
         p, n, tg, bn, sh, bc, txd = zip(*desc.planes)
-        planes = Planes(
-            position=jnp.asarray(p, f32),
-            normal=jnp.asarray(n, f32),
-            tangent=jnp.asarray(tg, f32),
-            binormal=jnp.asarray(bn, f32),
-            shader=jnp.asarray(sh, jnp.int32),
-            base_color=jnp.asarray(bc, f32),
-            textured=jnp.asarray([int(t) for t in txd], jnp.int32),
-        )
-    tris = None
+        ana_parts += [
+            np.asarray(p, np.float32), np.asarray(n, np.float32),
+            np.asarray(tg, np.float32), np.asarray(bn, np.float32),
+            np.asarray(sh, np.int32), np.asarray(bc, np.float32),
+            np.asarray([int(t) for t in txd], np.int32),
+        ]
     if desc.tris:
         v0, v1, v2, sh, bc = zip(*desc.tris)
-        tris = AnalyticTriangles(
-            verts=jnp.asarray(
-                np.stack([np.stack(v) for v in zip(v0, v1, v2)], axis=0), f32
+        ana_parts += [
+            np.stack([np.stack(v) for v in zip(v0, v1, v2)], axis=0).astype(
+                np.float32
             ),
-            shader=jnp.asarray(sh, jnp.int32),
-            base_color=jnp.asarray(bc, f32),
+            np.asarray(sh, np.int32), np.asarray(bc, np.float32),
+        ]
+    ana_dev = iter(pack_upload(ana_parts))
+    spheres = planes = tris = None
+    if desc.spheres:
+        spheres = Spheres(
+            center=next(ana_dev), radius=next(ana_dev), shader=next(ana_dev),
+            base_color=next(ana_dev), ior=next(ana_dev),
+            extinction=next(ana_dev),
+        )
+    if desc.planes:
+        planes = Planes(
+            position=next(ana_dev), normal=next(ana_dev),
+            tangent=next(ana_dev), binormal=next(ana_dev),
+            shader=next(ana_dev), base_color=next(ana_dev),
+            textured=next(ana_dev),
+        )
+    if desc.tris:
+        tris = AnalyticTriangles(
+            verts=next(ana_dev), shader=next(ana_dev),
+            base_color=next(ana_dev),
         )
 
     geom = materials = light_indices = bvh = wide = tb = bsp = None
@@ -171,21 +180,42 @@ def build_scene(desc: SceneDescriptor, timings: dict | None = None):
         _t0 = _time.perf_counter()
         mesh = _load_mesh_cached(desc.model, desc.model_scale)
         _mark("mesh_load", _t0)
-        _t0 = _time.perf_counter()
-        geom, materials, light_indices = upload_mesh(mesh)
-        _mark("upload", _t0)
         # Tiny meshes: a dense brute-force sweep beats any gather-based
         # traversal on TPU (no random access at all).
         if mesh.num_triangles <= 64 and cfg.traversal in ("bvh", "bsp"):
             cfg = dataclasses.replace(cfg, traversal="brute")
-        if cfg.traversal == "bvh":
-            # Default BVH path: treelet-cut packet traversal (accel.packet)
-            # — the TPU-native redesign of the reference's per-thread BVH
-            # walk (res/shaders/bvh.wgsl:154-191). The small host product
-            # is disk-cached; the 94 MB block table is gathered on device
-            # from the already-uploaded geometry buffers.
-            tb = _build_treelet(mesh, geom, desc.bvh_leaf, _mark)
-        elif cfg.traversal == "bvh8":
+        treelet_wanted = cfg.traversal == "bvh" or (
+            cfg.traversal == "bsp" and cfg.bsp_execution == "fast"
+        )
+        host = None
+        if treelet_wanted:
+            # Host half FIRST so the pid table rides the single packed
+            # geometry transfer (the link costs ~0.6 s fixed per transfer).
+            _t0 = _time.perf_counter()
+            host = _treelet_host(mesh, desc.bvh_leaf)
+            _mark("accel_host", _t0)
+        _t0 = _time.perf_counter()
+        extra = []
+        if host is not None:
+            extra = [host.pids, host.top, host.t_lo, host.t_hi,
+                     host.box_table, host.counts.astype(np.int32)]
+        geom, materials, light_indices, extra_dev = upload_mesh(
+            mesh, extra=extra
+        )
+        _mark("upload", _t0)
+        if host is not None:
+            # Treelet-cut packet traversal (accel.packet/flat) — the
+            # TPU-native redesign of the reference's per-thread BVH walk
+            # (res/shaders/bvh.wgsl:154-191). The 94 MB block table is
+            # gathered on device from the already-uploaded geometry.
+            from tracer.accel import treelet as treelet_mod
+
+            _t0 = _time.perf_counter()
+            tb = treelet_mod.from_host(
+                host, geom.vertices, geom.indices, dev=extra_dev
+            )
+            _mark("device_assembly", _t0)
+        if cfg.traversal == "bvh8":
             from tracer.accel import wide as wide_mod
 
             binary = lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf)
@@ -197,22 +227,16 @@ def build_scene(desc: SceneDescriptor, timings: dict | None = None):
                 jnp.asarray,
                 lbvh.build_for_mesh(mesh, max_prims=desc.bvh_leaf),
             )
-        elif cfg.traversal == "bsp":
-            if cfg.bsp_execution == "fast":
-                # BSP scenes execute through the treelet engines (the
-                # per-ray BSP walk is the faithful-but-slow path), so the
-                # BSP tree itself is *not* built here: a closest/any-hit
-                # query is traversal-independent, and eagerly building
-                # both structures doubled build time + device memory for
-                # every w6-w9 scene (VERDICT r4 weak #5). The parity path
-                # (bsp_execution="walk") still builds the faithful tree.
-                tb = _build_treelet(mesh, geom, desc.bvh_leaf, _mark)
-            else:
-                import jax
+        elif cfg.traversal == "bsp" and cfg.bsp_execution != "fast":
+            # BSP scenes with bsp_execution="fast" execute through the
+            # treelet engines built above (a closest/any-hit query is
+            # traversal-independent; VERDICT r4 weak #5); only the
+            # faithful-walk parity path builds the BSP tree itself.
+            import jax
 
-                from tracer.accel import bsp as bsp_mod
+            from tracer.accel import bsp as bsp_mod
 
-                bsp = jax.tree.map(jnp.asarray, bsp_mod.build_for_mesh(mesh))
+            bsp = jax.tree.map(jnp.asarray, bsp_mod.build_for_mesh(mesh))
 
     _t0 = _time.perf_counter()
     env = _load_texture_cached(desc.hdri, desc.hdri_rgbe) if desc.hdri else None
