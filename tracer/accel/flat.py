@@ -48,13 +48,14 @@ _BIG = jnp.float32(1.0e18)  # indefinite-interval sentinel (safe in products)
 K_EMIT = int(os.environ.get("TRACER_KEMIT", "96"))
 MAX_ROUNDS = 4096
 
-# Quarter-block emission granularity (TRACER_QEMIT=1). Measured on the
-# dragon (r5): admits HALF the Möller work of block granularity (22.5k vs
-# 46.2k gated sub-quarter pairs) yet runs slower (14.2 vs 12.0 ms) — the
-# ~1 us per-visit fixed cost of 4x more stream visits exceeds the culled
-# compute, and contiguous-vs-strided DMA / bit-vs-unrolled sub loops are
-# all within noise. Kept as a measured A/B lever, default off.
-QUARTER_EMIT = os.environ.get("TRACER_QEMIT", "0") != "0"
+# Quarter-block emission granularity (TRACER_QEMIT). Default ON since the
+# r5 restructure: with the emission near-sort gone and the kernel
+# skipping empty-gate entries before their DMA, the quarter-granularity
+# kernel is strictly faster than block (7.9 vs 9.2 ms kernel-only;
+# 15.8 vs 16.6 ms/frame on the dragon). The r4 "finer granularity
+# loses" measurement (14.2 vs 12.0) was dominated by the KQ-wide
+# near-sort top_k in the old _quarter_emissions prep, not per-visit cost.
+QUARTER_EMIT = os.environ.get("TRACER_QEMIT", "1") != "0"
 
 # Two-phase closest-hit stream (TRACER_2PHASE=1): phase 1 consumes the
 # nearest PHASE1_EMITS emissions, then the tail is RE-GATED against the

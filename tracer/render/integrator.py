@@ -366,6 +366,28 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays,
         shader = jnp.broadcast_to(
             _resolve_shader(jnp.int32(cfg.mesh_shader), uniforms), (n,)
         ).astype(jnp.int32)
+        # Material fetch as a one-hot matmul instead of 5 row gathers:
+        # the material table is tiny (M <= 8 in every scene), the
+        # forward matmul is trivial, and — decisive for the grad step —
+        # the BACKWARD of a matmul is a matmul, where the backward of a
+        # gather is a serial ~44 ns/index scatter (finding 22). Five
+        # degenerate (all-indices-equal) scatters cost more than the
+        # vertex scatter-add they accompany.
+        M = scene.materials.diffuse.shape[0]
+        oh = (mat[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]).astype(
+            jnp.float32
+        )  # (N, M)
+        pack = jnp.concatenate(
+            [
+                scene.materials.diffuse,
+                scene.materials.emission,
+                scene.materials.specular,
+                scene.materials.shininess[:, None],
+                scene.materials.ior[:, None],
+            ],
+            axis=1,
+        )  # (M, 11)
+        rows = oh @ pack  # (N, 11)
         best = upd(
             best,
             ok,
@@ -374,11 +396,11 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays,
             position=pos,
             normal=nrm,
             shader=shader,
-            albedo=scene.materials.diffuse[mat],
-            emission=scene.materials.emission[mat],
-            specular=scene.materials.specular[mat].mean(axis=-1),
-            shininess=scene.materials.shininess[mat],
-            ior=scene.materials.ior[mat],
+            albedo=rows[:, 0:3],
+            emission=rows[:, 3:6],
+            specular=rows[:, 6:9].mean(axis=-1),
+            shininess=rows[:, 9],
+            ior=rows[:, 10],
             is_mesh=jnp.ones(n, bool),
             textured=jnp.zeros(n, bool),
         )
@@ -497,19 +519,38 @@ def _sample_directional(cfg: SceneConfig, n):
 
 def _area_light_attrs(scene: Scene, light_slot):
     """Fetch (v0, v1, v2, Le, area, normal) of light triangle ``light_slot``
-    (an index into scene.light_indices)."""
-    tri_idx = scene.light_indices[light_slot]
-    idx = scene.geom.indices[tri_idx]
-    v0 = scene.geom.vertices[idx[:, 0]] if idx.ndim == 2 else scene.geom.vertices[idx[0]]
-    v1 = scene.geom.vertices[idx[:, 1]] if idx.ndim == 2 else scene.geom.vertices[idx[1]]
-    v2 = scene.geom.vertices[idx[:, 2]] if idx.ndim == 2 else scene.geom.vertices[idx[2]]
-    mat = scene.geom.mat_ids[tri_idx]
-    l_e = scene.materials.emission[mat]
+    (an index into scene.light_indices).
+
+    Per-ray slots select via a one-hot matmul over the (L, 12) light
+    table instead of per-ray row gathers: L is tiny (2 for the Cornell
+    scenes), and a matmul's backward is a matmul where a gather's is a
+    serial per-index scatter (finding 22) — this is the path-mode NEE
+    hot loop, hit every bounce.
+    """
+    L = scene.light_indices.shape[0]
+    tri_all = scene.light_indices  # (L,)
+    idx_all = scene.geom.indices[tri_all]  # (L, 3) — L-row gather, tiny
+    v0L = scene.geom.vertices[idx_all[:, 0]]
+    v1L = scene.geom.vertices[idx_all[:, 1]]
+    v2L = scene.geom.vertices[idx_all[:, 2]]
+    leL = scene.materials.emission[scene.geom.mat_ids[tri_all]]
+    slot = jnp.asarray(light_slot)
+    if slot.ndim == 1 and 0 < L <= 64:
+        table = jnp.concatenate([v0L, v1L, v2L, leL], axis=1)  # (L, 12)
+        oh = (
+            slot[:, None] == jnp.arange(L, dtype=slot.dtype)[None, :]
+        ).astype(jnp.float32)
+        rows = oh @ table
+        v0, v1, v2, l_e = (
+            rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
+        )
+    else:
+        v0, v1, v2, l_e = v0L[slot], v1L[slot], v2L[slot], leL[slot]
     e0 = v0 - v1
     e1 = v0 - v2
     cr = vec.cross(e0, e1)
     area = 0.5 * jnp.sqrt(vec.dot(cr, cr))
-    nrm = vec.normalize(vec.cross(e0, e1), eps=1e-24)
+    nrm = vec.normalize(cr, eps=1e-24)
     return v0, v1, v2, l_e, area, nrm
 
 
