@@ -162,17 +162,60 @@ def node_slab(o, inv_d, tmin, tmax, lo, hi):
     return (near <= far) & (far >= tmin) & (near <= tmax)
 
 
-def mesh_brute_force(rays: Rays, vertices, indices, chunk: int = 2048):
+def _moller_features(vertices, idx_c, valid_c):
+    """(chunk,) triangle slab -> (10, 4*chunk) feature matrix for the
+    matmul-form Möller test. Column groups: [beta_num | gamma_num |
+    denom | t_num]; ray feature vector is [d, o x d, o, 1] so
+
+        beta_num  = d.(e1 x v0) - (o x d).e1
+        gamma_num = -d.(e0 x v0) + (o x d).e0
+        denom     = n.d          t_num = (v0.n) - n.o
+
+    (algebraically identical to ``triangle_t``'s cross-product form;
+    reference ``w9e2.wgsl:309-351``). Also returns the n rows for the
+    validity epilogue."""
+    v0 = vertices[idx_c[:, 0]]  # (chunk, 3)
+    v1 = vertices[idx_c[:, 1]]
+    v2 = vertices[idx_c[:, 2]]
+    e0 = v1 - v0
+    e1 = v2 - v0
+    nrm = jnp.cross(e0, e1)
+    kpl = jnp.sum(v0 * nrm, axis=-1)
+    bA = jnp.cross(e1, v0)
+    bB = -jnp.cross(e0, v0)
+    chunk = idx_c.shape[0]
+    z = jnp.zeros((chunk,), jnp.float32)
+    rows = []
+    for a in range(3):
+        rows.append(jnp.concatenate([bA[:, a], bB[:, a], nrm[:, a], z]))
+    for a in range(3):
+        rows.append(jnp.concatenate([-e1[:, a], e0[:, a], z, z]))
+    for a in range(3):
+        rows.append(jnp.concatenate([z, z, z, -nrm[:, a]]))
+    rows.append(jnp.concatenate([z, z, z, kpl]))
+    return jnp.stack(rows, axis=0), valid_c  # (10, 4*chunk)
+
+
+def _ray_features(rays: Rays):
+    oxd = jnp.cross(rays.o, rays.d)
+    n = rays.o.shape[0]
+    return jnp.concatenate(
+        [rays.d, oxd, rays.o, jnp.ones((n, 1), jnp.float32)], axis=1
+    )  # (N, 10)
+
+
+def mesh_brute_force(rays: Rays, vertices, indices, chunk: int = 512):
     """Closest-hit over *all* triangles — the reference's w5 brute-force loop
-    (``w5e2.wgsl:230-240``) as a scan over triangle chunks.
+    (``w5e2.wgsl:230-240``), MXU-shaped: one (N, 10) x (10, 4*chunk)
+    matmul yields every (ray, tri) pair's Möller numerators with no
+    (N, chunk, 3) rank-3 broadcast temps (the naive broadcast form
+    measured 5.95 ms for 262k rays x 128 tris — memory-bound on ~2 GB of
+    fusion temps; this form is ~10x less traffic). Division-free
+    validity: beta >= 0 etc. test numerator*denom signs.
 
-    Returns (t, tri_id) with tri_id == -1 for miss. Memory stays
-    O(N * chunk) instead of O(N * T); XLA keeps the running min in registers.
-
-    ``chunk`` is clamped to the lane-rounded triangle count: tiny meshes
-    (the 12-triangle Cornell box) must not pad to a full 2048-wide chunk —
-    that cost 170x redundant Möller work and a 6 GB broadcast temp in the
-    backward pass (the r5 path-grad OOM).
+    Returns (t, tri_id) with tri_id == -1 for miss. ``chunk`` is clamped
+    to the lane-rounded triangle count (a 2048-pad on the 12-triangle
+    Cornell box cost 170x redundant work and OOM'd the backward).
     """
     T = indices.shape[0]
     chunk = min(chunk, max(128, -(-T // 128) * 128))
@@ -183,22 +226,33 @@ def mesh_brute_force(rays: Rays, vertices, indices, chunk: int = 2048):
     idx_chunks = idx_pad.reshape(n_chunks, chunk, 3)
     valid_chunks = valid_tri.reshape(n_chunks, chunk)
     tri_base = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    rm = _ray_features(rays)
 
     def body(carry, xs):
         best_t, best_id = carry
         idx_c, valid_c, base = xs
-        v0 = vertices[idx_c[:, 0]]  # (chunk, 3)
-        v1 = vertices[idx_c[:, 1]]
-        v2 = vertices[idx_c[:, 2]]
-        # Broadcast rays (N, 1, 3) against triangles (1, chunk, 3).
-        sub = Rays(
-            o=rays.o[:, None, :],
-            d=rays.d[:, None, :],
-            tmin=rays.tmin[:, None],
-            tmax=best_t[:, None],
+        feat, _ = _moller_features(vertices, idx_c, valid_c)
+        # HIGHEST: default TPU matmul rounds through bf16 — fatal for
+        # intersection geometry; the 3-pass form keeps f32 accuracy.
+        out = jax.lax.dot(
+            rm, feat, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (N, 4*chunk)
+        C = idx_c.shape[0]
+        bn = out[:, 0:C]
+        gn = out[:, C:2 * C]
+        dn = out[:, 2 * C:3 * C]
+        tn = out[:, 3 * C:4 * C]
+        t = tn / _safe_denom(dn)
+        ok = (
+            (bn * dn >= 0.0)
+            & (gn * dn >= 0.0)
+            & ((bn + gn) * dn <= dn * dn)
+            & (t >= rays.tmin[:, None])
+            & (t <= best_t[:, None])
+            & (dn != 0.0)
+            & valid_c[None, :]
         )
-        t, _, _, ok = triangle_t(sub, v0[None], v1[None], v2[None])
-        ok = ok & valid_c[None, :]
         t = jnp.where(ok, t, INF)
         j = jnp.argmin(t, axis=1)
         t_best = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
@@ -228,19 +282,30 @@ def mesh_brute_force_anyhit(rays: Rays, vertices, indices, chunk: int = 2048):
     idx_chunks = idx_pad.reshape(n_chunks, chunk, 3)
     valid_chunks = valid_tri.reshape(n_chunks, chunk)
 
+    rm = _ray_features(rays)
+
     def body(blocked, xs):
         idx_c, valid_c = xs
-        v0 = vertices[idx_c[:, 0]]
-        v1 = vertices[idx_c[:, 1]]
-        v2 = vertices[idx_c[:, 2]]
-        sub = Rays(
-            o=rays.o[:, None, :],
-            d=rays.d[:, None, :],
-            tmin=rays.tmin[:, None],
-            tmax=rays.tmax[:, None],
+        feat, _ = _moller_features(vertices, idx_c, valid_c)
+        out = jax.lax.dot(
+            rm, feat, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
-        _, _, _, ok = triangle_t(sub, v0[None], v1[None], v2[None])
-        ok = ok & valid_c[None, :]
+        C = idx_c.shape[0]
+        bn = out[:, 0:C]
+        gn = out[:, C:2 * C]
+        dn = out[:, 2 * C:3 * C]
+        tn = out[:, 3 * C:4 * C]
+        t = tn / _safe_denom(dn)
+        ok = (
+            (bn * dn >= 0.0)
+            & (gn * dn >= 0.0)
+            & ((bn + gn) * dn <= dn * dn)
+            & (t >= rays.tmin[:, None])
+            & (t <= rays.tmax[:, None])
+            & (dn != 0.0)
+            & valid_c[None, :]
+        )
         return blocked | jnp.any(ok, axis=1), None
 
     n = rays.o.shape[0]

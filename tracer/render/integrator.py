@@ -310,13 +310,38 @@ def trace_closest(scene: Scene, cfg: SceneConfig, rays: Rays,
         # scatter-add into vertices+normals.
         from tracer.geometry.device import fetch_tri_rows
 
-        row = fetch_tri_rows(
-            scene.geom.vertices,
-            scene.geom.normals,
-            scene.geom.tri_table,
-            scene.geom.indices,
-            tri_c,
-        )
+        T_mesh = scene.geom.indices.shape[0]
+        if T_mesh <= 128:
+            # Small meshes (the brute-force scenes: Cornell boxes, quads)
+            # fetch via a one-hot matmul over a table built differentiably
+            # in-trace: a 262k-index gather from a 12-row table costs the
+            # same ~26 ns/index as from a 870k-row one (finding 19) —
+            # ~7 ms per BOUNCE on the W8E3 path tracer — while the
+            # (N, T) one-hot matmul is trivial and its backward is a
+            # matmul + a 3T-index scatter instead of an N-index one.
+            idxT = scene.geom.indices
+            cols = [scene.geom.vertices[idxT[:, c]] for c in range(3)]
+            cols += [scene.geom.normals[idxT[:, c]] for c in range(3)]
+            cols = [c.reshape(T_mesh, 3) for c in cols]
+            cols.append(
+                jax.lax.stop_gradient(
+                    scene.geom.mat_ids.astype(jnp.float32)
+                )[:, None].reshape(T_mesh, 1)
+            )
+            table = jnp.concatenate(cols, axis=1)  # (T, 19)
+            oh_t = (
+                tri_c[:, None]
+                == jnp.arange(T_mesh, dtype=tri_c.dtype)[None, :]
+            ).astype(jnp.float32)
+            row = oh_t @ table
+        else:
+            row = fetch_tri_rows(
+                scene.geom.vertices,
+                scene.geom.normals,
+                scene.geom.tri_table,
+                scene.geom.indices,
+                tri_c,
+            )
         v0 = row[:, 0:3]
         v1 = row[:, 3:6]
         v2 = row[:, 6:9]
